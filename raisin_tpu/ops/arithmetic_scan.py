@@ -1,0 +1,305 @@
+"""Adaptive arithmetic coder as a JAX scan state machine (device kernel).
+
+TPU-first redesign of the reference coder (compressor/arithmetic/arithmetic.go):
+the per-symbol O(257) model-update loop (arithmetic.go:184) becomes one
+258-wide vector add, the E1/E2/E3 renormalization loop (arithmetic.go:140)
+becomes 16 unrolled masked iterations (the interval difference starts at >= 3
+and at least doubles per iteration, so 15 iterations provably suffice), and
+bit emission becomes a compact per-iteration event record expanded afterwards
+via prefix sums + searchsorted — no data-dependent shapes anywhere, so the
+whole encoder jits and vmaps over many independent blocks (the throughput
+path: one adaptive stream per block, thousands of blocks in flight, ragged
+lengths handled by per-step active masks).
+
+Byte-exactness: for a single block this produces exactly the reference
+`.rsn` arithmetic stream (tests assert equality against formats.arithmetic_ref).
+
+Event record layout (uint8 per renorm iteration):
+  bit 7: valid (this iteration emitted a bit)
+  bit 6: emitted bit value
+  bit 5: first emission of its step — flushes the carried pending count,
+         stored separately as int32 per step; later emissions in the same
+         step flush at most 15 in-step pending bits, stored in bits 0-4
+  bits 0-4: in-step pending flush count
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raisin_tpu.ops import jax_setup  # noqa: F401  (persistent compile cache)
+
+MAX_CODE = 0xFFFF
+ONE_FOURTH = 0x4000
+ONE_HALF = 0x8000
+THREE_FOURTHS = 0xC000
+MAX_FREQ = 16383
+EOF = 256
+RENORM_ITERS = 16
+
+# Upper bound on emitted bits per coded symbol: <= RENORM_ITERS emissions plus
+# pending flushes; globally total bits <= 17 * steps + slack.
+BITS_PER_STEP_BOUND = 17
+
+
+def _idx258():
+    return jnp.arange(258, dtype=jnp.int32)
+
+
+def _fresh_model():
+    return jnp.arange(258, dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Encode
+
+
+def _encode_step(carry, inp):
+    low, high, pending, cum, frozen = carry
+    sym, active = inp
+
+    difference = high - low + 1
+    lower = cum[sym]
+    upper = cum[sym + 1]
+    count = cum[257]
+
+    # model update (the reference freezes AFTER the triggering update,
+    # arithmetic.go:184-192)
+    upd = (~frozen) & active
+    cum = jnp.where(upd, cum + (_idx258() > sym).astype(jnp.int32), cum)
+    frozen = frozen | (cum[257] >= MAX_FREQ)
+
+    high = jnp.where(active, low + (difference * upper) // count - 1, high)
+    low = jnp.where(active, low + (difference * lower) // count, low)
+
+    slots = []
+    slot0_pending = jnp.int32(0)
+    has_emitted = jnp.bool_(False)
+    done = ~active
+
+    for _ in range(RENORM_ITERS):
+        e1 = high < ONE_HALF
+        e2 = low >= ONE_HALF
+        e3 = (low >= ONE_FOURTH) & (high < THREE_FOURTHS)
+        cont = (e1 | e2 | e3) & ~done
+        emit = (e1 | e2) & cont
+        straddle = e3 & ~e1 & ~e2 & cont
+        bit = jnp.where(e2, jnp.uint8(1), jnp.uint8(0))
+
+        is_first = emit & ~has_emitted
+        slot0_pending = jnp.where(is_first, pending, slot0_pending)
+        in_step_pend = jnp.where(is_first, 0, pending).astype(jnp.uint8)
+        slot_val = (
+            jnp.uint8(0x80)
+            | (bit << 6)
+            | jnp.where(is_first, jnp.uint8(0x20), jnp.uint8(0))
+            | in_step_pend
+        )
+        slots.append(jnp.where(emit, slot_val, jnp.uint8(0)))
+        has_emitted = has_emitted | emit
+
+        pending = jnp.where(emit, 0, jnp.where(straddle, pending + 1, pending))
+        sub = jnp.where(straddle, ONE_FOURTH, jnp.where(e2, ONE_HALF, 0))
+        low = jnp.where(cont, (low - sub) << 1, low)
+        high = jnp.where(cont, ((high - sub) << 1) + 1, high)
+        done = done | ~cont
+
+    return (low, high, pending, cum, frozen), (jnp.stack(slots), slot0_pending)
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps",))
+def encode_blocks(symbols: jax.Array, lengths: jax.Array, num_steps: int):
+    """Device encode of B independent blocks.
+
+    Args:
+      symbols: (B, num_steps) int32 — block bytes with EOF (256) at position
+        ``lengths[b]``; entries past that are ignored.
+      lengths: (B,) int32 payload length per block.
+      num_steps: static scan length (>= max(lengths) + 1).
+
+    Returns:
+      padded_bits: (B, max_bits) uint8 — the `.rsn` bitstream per block,
+        sentinel prepad applied, zero-filled past ``bit_lengths``.
+      bit_lengths: (B,) int32 — multiple of 8; compressed bytes = bits/8.
+    """
+    max_bits = BITS_PER_STEP_BOUND * num_steps + 16
+
+    def one_block(syms, n):
+        steps = jnp.arange(num_steps, dtype=jnp.int32)
+        active = steps <= n  # payload symbols plus the EOF at position n
+        init = (
+            jnp.int32(0),
+            jnp.int32(MAX_CODE),
+            jnp.int32(0),
+            _fresh_model(),
+            jnp.bool_(False),
+        )
+        _, (slots, slot0) = jax.lax.scan(_encode_step, init, (syms, active))
+        return _expand_block_bits(slots, slot0, max_bits)
+
+    return jax.vmap(one_block)(symbols, lengths)
+
+
+def _expand_block_bits(slots, slot0, max_bits: int):
+    """Events -> sentinel-prepadded MSB bitstream for one block.
+
+    slots: (S, 16) uint8, slot0: (S,) int32.
+    """
+    flat = slots.reshape(-1)
+    valid = (flat & 0x80) != 0
+    bit = ((flat >> 6) & 1).astype(jnp.uint8)
+    is_first = (flat & 0x20) != 0
+    pend = (flat & 0x1F).astype(jnp.int32) + jnp.where(
+        is_first, jnp.repeat(slot0, RENORM_ITERS), 0
+    )
+    ev_len = jnp.where(valid, 1 + pend, 0)
+    ends = jnp.cumsum(ev_len)  # inclusive ends; zero-length events repeat
+    total = ends[-1]
+    pad = 8 - total % 8  # 1..8 prepad bits, 0…01 (bits.go:48)
+
+    j = jnp.arange(max_bits, dtype=jnp.int32)
+    jj = j - pad
+    # owning event: first one whose end > jj (zero-length events never own)
+    k = jnp.searchsorted(ends, jj, side="right")
+    k = jnp.clip(k, 0, ev_len.shape[0] - 1)
+    offset_k = ends[k] - ev_len[k]
+    within = jj - offset_k
+    raw = jnp.where(within == 0, bit[k], 1 - bit[k]).astype(jnp.uint8)
+    sentinel = (j == pad - 1).astype(jnp.uint8)
+    out = jnp.where(jj < 0, sentinel, jnp.where(jj < total, raw, jnp.uint8(0)))
+    return out, total + pad
+
+
+# ---------------------------------------------------------------------------
+# Decode
+
+
+def _decode_step(carry, inp):
+    value, low, high, pos, cum, frozen, bits = carry
+    active = inp
+
+    difference = high - low + 1
+    count = cum[257]
+    scaled = ((value - low + 1) * count - 1) // difference
+    # first symbol s with scaled < cum[s+1]  (arithmetic.go:206)
+    sym = jnp.sum((cum[1:258] <= scaled).astype(jnp.int32))
+    sym = jnp.minimum(sym, 256)
+    lower = cum[sym]
+    upper = cum[sym + 1]
+
+    upd = (~frozen) & active
+    cum = jnp.where(upd, cum + (_idx258() > sym).astype(jnp.int32), cum)
+    frozen = frozen | (cum[257] >= MAX_FREQ)
+
+    is_eof = sym == EOF
+    act = active & ~is_eof
+
+    high = jnp.where(act, low + (difference * upper) // count - 1, high)
+    low = jnp.where(act, low + (difference * lower) // count, low)
+
+    done = ~act
+    nbits = bits.shape[0]
+    for _ in range(RENORM_ITERS):
+        e1 = high < ONE_HALF
+        e2 = low >= ONE_HALF
+        e3 = (low >= ONE_FOURTH) & (high < THREE_FOURTHS)
+        cont = (e1 | e2 | e3) & ~done
+        sub = jnp.where(e2, ONE_HALF, jnp.where(e3 & ~e1, ONE_FOURTH, 0))
+        nxt = jnp.where(pos < nbits, bits[jnp.clip(pos, 0, nbits - 1)], 0).astype(jnp.int32)
+        value = jnp.where(cont, ((value - sub) << 1) + nxt, value)
+        low = jnp.where(cont, (low - sub) << 1, low)
+        high = jnp.where(cont, ((high - sub) << 1) + 1, high)
+        pos = jnp.where(cont, pos + 1, pos)
+        done = done | ~cont
+
+    return (value, low, high, pos, cum, frozen, bits), jnp.where(
+        active, sym, jnp.int32(EOF)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps",))
+def decode_blocks(bits: jax.Array, lengths: jax.Array, num_steps: int):
+    """Device decode of B independent blocks with known output lengths.
+
+    Args:
+      bits: (B, nbits) uint8 — unpadded bitstreams (sentinel already
+        stripped), zero-filled to a common static length, with the decoder's
+        [1, 0] tail (arithmetic.go:48) already appended per block.
+      lengths: (B,) int32 — known decoded byte count per block.
+      num_steps: static scan length (>= max(lengths) + 1, covering EOF).
+
+    Returns (symbols (B, num_steps) int32, eof_ok (B,) bool).
+    """
+
+    def one_block(bb, n):
+        value0 = jnp.int32(0)
+        for i in range(16):
+            value0 = (value0 << 1) | bb[i].astype(jnp.int32)
+        steps = jnp.arange(num_steps, dtype=jnp.int32)
+        active = steps <= n  # n payload symbols + the EOF check step
+        init = (value0, jnp.int32(0), jnp.int32(MAX_CODE), jnp.int32(16), _fresh_model(), jnp.bool_(False), bb)
+        _, syms = jax.lax.scan(_decode_step, init, active)
+        eof_ok = syms[n] == EOF
+        return syms, eof_ok
+
+    return jax.vmap(one_block)(bits, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers (exact `.rsn` bytes, single stream)
+
+
+def _bucket(n: int) -> int:
+    """Round up to limit jit recompiles across input sizes.
+
+    Coarse ×4 buckets: TPU compiles of the scan body are expensive, so we
+    trade some padded scan steps for far fewer distinct executables.
+    """
+    size = 1024
+    while size < n:
+        size *= 4
+    return size
+
+
+def compress(data: bytes) -> bytes:
+    """Single-stream `.rsn` arithmetic encode on device (bit-exact)."""
+    n = len(data)
+    steps = _bucket(n + 1)
+    symbols = np.full((1, steps), EOF, dtype=np.int32)
+    symbols[0, :n] = np.frombuffer(data, dtype=np.uint8)
+    # EOF already present at position n via the fill value
+    lengths = np.array([n], dtype=np.int32)
+    padded_bits, bit_lengths = encode_blocks(symbols, lengths, steps)
+    nbits = int(bit_lengths[0])
+    bits = np.asarray(padded_bits[0, :nbits], dtype=np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+def decompress(data: bytes, out_len: int | None = None) -> bytes:
+    """Single-stream `.rsn` arithmetic decode on device.
+
+    The output length must be known (container mode) or is discovered by a
+    fast host scan fallback when ``out_len`` is None.
+    """
+    from raisin_tpu.formats import arithmetic_ref
+
+    if out_len is None:
+        # Raw .rsn streams carry no length; decode on host instead.
+        return arithmetic_ref.decompress(data)
+
+    from raisin_tpu.bitkit.packing import unpack_prepad_sentinel
+
+    payload = unpack_prepad_sentinel(data)
+    tail = np.concatenate([payload, np.array([1, 0], dtype=np.uint8)])
+    steps = _bucket(out_len + 1)
+    nbits = _bucket(max(len(tail), 16))
+    bits = np.zeros((1, nbits), dtype=np.uint8)
+    bits[0, : len(tail)] = tail
+    syms, eof_ok = decode_blocks(bits, np.array([out_len], dtype=np.int32), steps)
+    if not bool(eof_ok[0]):
+        raise ValueError("arithmetic(device): EOF symbol not found where expected")
+    return np.asarray(syms[0, :out_len], dtype=np.uint8).tobytes()

@@ -4,5 +4,15 @@ from __future__ import annotations
 
 
 def register_all() -> None:
-    # Populated as device kernels land (arithmetic scan, LZSS, Huffman).
-    return None
+    from raisin_tpu.engine.registry import register_backend
+    from raisin_tpu.ops import arithmetic_scan
+
+    # Raw .rsn streams carry no output length, so device decode (which needs
+    # static shapes) hands raw streams to the host oracle; container-mode
+    # decode (known block lengths) runs fully on device via parallel/blocks.
+    register_backend(
+        "arithmetic",
+        "device",
+        arithmetic_scan.compress,
+        arithmetic_scan.decompress,
+    )
