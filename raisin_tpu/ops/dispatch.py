@@ -16,3 +16,12 @@ def register_all() -> None:
         arithmetic_scan.compress,
         arithmetic_scan.decompress,
     )
+
+    from raisin_tpu.ops import lzss_jax
+
+    register_backend(
+        "lzss",
+        "device",
+        lzss_jax.compress,
+        lzss_jax.decompress,
+    )

@@ -1,0 +1,238 @@
+"""LZSS match search + commit as JAX device kernels.
+
+TPU-first redesign of the reference encoder (compressor/lz/lzss.go):
+
+- The reference spawns one goroutine per input byte, each running
+  bytes.Index over the trailing 4096-byte window (lzss.go:119-130). Here the
+  per-position longest match is computed EXACTLY by a reverse ``lax.scan``
+  carrying the vector of run lengths rl[d] = LCP(x[i:], x[i-d:]) for every
+  distance d in [1, W]: one vectorized compare-and-increment per position
+  (tiled T positions per scan step to amortize step overhead). The match
+  length is L[i] = max_d min(rl[d], d) (the min enforces "match entirely in
+  the prefix", lzss.go:349-353 requires L <= D) and the distance is the
+  LARGEST d achieving it — i.e. the leftmost occurrence, matching
+  bytes.Index semantics (lzss.go:418).
+- The sequential token-commit pass (lzss.go:134-151) is replaced by pointer
+  doubling: the jump function f(i) = i + max(L[i], 1) is lifted to jump
+  tables f^(2^k) with log2(S) gathers, and the committed-position orbit of 0
+  is evaluated for ALL output ranks in parallel by composing lifts along the
+  binary representation of the rank.
+- Token emission (ASCII ``<D,L>``, emitted only when shorter than the match,
+  lzss.go:143) becomes arithmetic digit extraction + prefix-sum offsets +
+  a gather per output byte.
+
+Byte-exactness vs. formats.lzss_ref (and hence the reference wire format) is
+asserted in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raisin_tpu.formats.lzss_ref import (
+    DEFAULT_WINDOW_SIZE,
+    decode_opening_symbols,
+    encode_opening_symbols,
+)
+from raisin_tpu.ops import jax_setup  # noqa: F401
+
+TILE = 8  # positions folded into one scan step
+MAX_TOKEN_LEN = 11  # "<dddd,dddd>"
+
+
+# ---------------------------------------------------------------------------
+# Match search
+
+
+@functools.partial(jax.jit, static_argnames=("window", "num_steps"))
+def find_matches_blocks(x: jax.Array, lengths: jax.Array, window: int, num_steps: int):
+    """Exact per-position (L, D) for B blocks.
+
+    Args:
+      x: (B, S) int32 — escaped block bytes, -1 padded past ``lengths``.
+      lengths: (B,) int32.
+      window: search window (4096 in the reference, lzss.go:35).
+      num_steps: S // TILE (S must be a TILE multiple).
+
+    Returns L, D: (B, S) int32 ((0, 0) where no match).
+    """
+    B, S = x.shape
+    dvec = jnp.arange(1, window + 1, dtype=jnp.int32)  # (W,)
+
+    def one_block(xb, n):
+        # left-pad with sentinel so x[i-d] reads never match
+        xp = jnp.concatenate([jnp.full((window,), -2, dtype=jnp.int32), xb])
+
+        def step(rl, t):
+            # t counts down: process positions [t*TILE, t*TILE+TILE) descending
+            base = t * TILE
+            win = jax.lax.dynamic_slice(xp, (base,), (window + TILE,))
+            outs_L = []
+            outs_D = []
+            for u in range(TILE - 1, -1, -1):
+                i = base + u
+                cur = win[window + u]
+                # bytes at i-d for d=1..W, d ascending
+                prev = jax.lax.dynamic_slice(win, (u,), (window,))[::-1]
+                eq = (prev == cur) & (cur >= 0)
+                rl = jnp.where(eq, rl + 1, 0)
+                cap = jnp.minimum(rl, dvec)
+                L = jnp.max(cap)
+                D = jnp.max(jnp.where(cap >= L, dvec, 0))
+                valid = (L > 0) & (i < n)
+                outs_L.append(jnp.where(valid, L, 0))
+                outs_D.append(jnp.where(valid, D, 0))
+            # outs are for u = TILE-1 .. 0; flip to ascending position order
+            return rl, (jnp.stack(outs_L[::-1]), jnp.stack(outs_D[::-1]))
+
+        rl0 = jnp.zeros((window,), dtype=jnp.int32)
+        _, (Ls, Ds) = jax.lax.scan(
+            step, rl0, jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
+        )
+        # scan emitted tiles in descending t order; restore ascending
+        return Ls[::-1].reshape(S), Ds[::-1].reshape(S)
+
+    return jax.vmap(one_block)(x, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Commit + emission
+
+
+def _ndigits(v):
+    return (
+        1
+        + (v >= 10).astype(jnp.int32)
+        + (v >= 100).astype(jnp.int32)
+        + (v >= 1000).astype(jnp.int32)
+        + (v >= 10000).astype(jnp.int32)
+    )
+
+
+def _digit_at(v, pos, nd):
+    """ASCII digit of decimal v at position pos (0 = most significant)."""
+    p = nd - 1 - pos
+    pow10 = jnp.asarray([1, 10, 100, 1000, 10000], dtype=jnp.int32)[jnp.clip(p, 0, 4)]
+    return (v // pow10) % 10 + ord("0")
+
+
+@functools.partial(jax.jit, static_argnames=())
+def commit_blocks(x: jax.Array, L: jax.Array, D: jax.Array, lengths: jax.Array):
+    """Parallel commit + token emission for B blocks.
+
+    Args:
+      x: (B, S) int32 escaped bytes; L, D: (B, S) int32; lengths: (B,).
+
+    Returns out (B, S) uint8 (token stream, zero-filled tail), out_len (B,).
+    """
+    B, S = x.shape
+    log2S = max(1, (S - 1).bit_length())
+
+    def one_block(xb, Lb, Db, n):
+        # token length if emitted as a reference; emission rule lzss.go:143
+        tok_len = 3 + _ndigits(Db) + _ndigits(Lb)
+        has_ref = Lb > 0
+        use_tok = has_ref & (tok_len < Lb)
+        consumed = jnp.maximum(Lb, 1)  # positions consumed at a commit
+        out_len_at = jnp.where(use_tok, tok_len, consumed)  # bytes produced
+
+        # jump function on [0, S] (clip to S as the terminal state)
+        f = jnp.minimum(jnp.arange(S, dtype=jnp.int32) + consumed, S)
+
+        # binary lifting tables f^(2^k)
+        lifts = [f]
+        for _ in range(log2S - 1):
+            prev = lifts[-1]
+            lifts.append(jnp.minimum(prev[jnp.clip(prev, 0, S - 1)], S))
+
+        # orbit of 0: committed position of rank j, for all j in [0, S)
+        ranks = jnp.arange(S, dtype=jnp.int32)
+        cur = jnp.zeros((S,), dtype=jnp.int32)
+        rem = ranks
+        for k in range(log2S - 1, -1, -1):
+            take = rem >= (1 << k)
+            stepped = lifts[k][jnp.clip(cur, 0, S - 1)]
+            cur = jnp.where(take & (cur < S), stepped, cur)
+            rem = rem - jnp.where(take, 1 << k, 0)
+
+        committed_pos = cur  # ascending; == S once past the end
+        valid_commit = committed_pos < jnp.minimum(n, S)
+
+        # per-rank output length and offsets
+        lens = jnp.where(valid_commit, out_len_at[jnp.clip(committed_pos, 0, S - 1)], 0)
+        ends = jnp.cumsum(lens)
+        total = ends[-1]
+        starts = ends - lens
+
+        # each output byte o belongs to the first rank whose end > o
+        o = jnp.arange(S, dtype=jnp.int32)
+        r = jnp.searchsorted(ends, o, side="right")
+        r = jnp.clip(r, 0, S - 1)
+        src = jnp.clip(committed_pos[r], 0, S - 1)
+        within = o - starts[r]
+
+        is_tok = use_tok[src]
+        d_src = Db[src]
+        l_src = Lb[src]
+        nd_d = _ndigits(d_src)
+        nd_l = _ndigits(l_src)
+        # token layout: '<' D-digits ',' L-digits '>'
+        tok_byte = jnp.where(
+            within == 0,
+            ord("<"),
+            jnp.where(
+                within <= nd_d,
+                _digit_at(d_src, within - 1, nd_d),
+                jnp.where(
+                    within == nd_d + 1,
+                    ord(","),
+                    jnp.where(
+                        within <= nd_d + 1 + nd_l,
+                        _digit_at(l_src, within - nd_d - 2, nd_l),
+                        ord(">"),
+                    ),
+                ),
+            ),
+        )
+        raw_byte = xb[jnp.clip(src + within, 0, S - 1)]
+        out = jnp.where(o < total, jnp.where(is_tok, tok_byte, raw_byte), 0)
+        return out.astype(jnp.uint8), total
+
+    return jax.vmap(one_block)(x, L, D, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers
+
+
+def _bucket(n: int) -> int:
+    size = 1024
+    while size < n:
+        size *= 4
+    return size
+
+
+def compress(data: bytes, window_size: int = DEFAULT_WINDOW_SIZE) -> bytes:
+    """Exact `.rsn` LZSS encode with device match-search + commit."""
+    enc = encode_opening_symbols(data)
+    n = len(enc)
+    if n == 0:
+        return b""
+    S = _bucket(n)
+    x = np.full((1, S), -1, dtype=np.int32)
+    x[0, :n] = np.frombuffer(enc, dtype=np.uint8)
+    lengths = np.array([n], dtype=np.int32)
+    L, D = find_matches_blocks(x, lengths, window_size, S // TILE)
+    out, out_len = commit_blocks(x, L, D, lengths)
+    return np.asarray(out[0, : int(out_len[0])], dtype=np.uint8).tobytes()
+
+
+def decompress(data: bytes) -> bytes:
+    """LZSS decode (host path; see formats.lzss_ref)."""
+    from raisin_tpu.formats import lzss_ref
+
+    return lzss_ref.decompress(data)
