@@ -25,3 +25,12 @@ def register_all() -> None:
         lzss_jax.compress,
         lzss_jax.decompress,
     )
+
+    from raisin_tpu.ops import huffman_jax
+
+    register_backend(
+        "huffman",
+        "device",
+        huffman_jax.compress,
+        huffman_jax.decompress,
+    )
