@@ -19,6 +19,10 @@ Flags:
                            compress, TRUE for decompress, cmd/cli.go:114,150)
     -generate              benchmark only: write index.html
     -backend=auto|host|native|device
+    -container             compress into the RSNB block container (the
+                           block-parallel scale path; decompress
+                           auto-detects the RSNB magic)
+    -blocksize=N           container block size in bytes (default 65536)
 """
 
 from __future__ import annotations
@@ -89,7 +93,7 @@ def _split_flags(args: list[str]) -> tuple[dict[str, str], list[str]]:
                 flags[name] = "true"
             elif i + 1 < len(args) and not args[i + 1].startswith("-"):
                 # Allow "-algorithm value" spelling in addition to "-algorithm=value"
-                if name in ("algorithm", "out", "outext", "backend"):
+                if name in ("algorithm", "out", "outext", "backend", "blocksize"):
                     flags[name] = args[i + 1]
                     i += 1
                 else:
@@ -142,13 +146,15 @@ def main(argv: list[str] | None = None) -> int:
     if command == "compress":
         algorithms = [a.strip() for a in flags.get("algorithm", DEFAULT_ALGORITHMS).split(",")]
         delete_after = flags.get("delete") == "true"
+        container = flags.get("container") == "true"
+        block_size = int(flags.get("blocksize", str(1 << 16)))
         try:
             if len(files) > 1:
                 ext = "." + flags.get("outext", "rsn")
-                compress_files(algorithms, files, ext)
+                compress_files(algorithms, files, ext, container=container, block_size=block_size)
             else:
                 out = flags.get("out", files[0] + ".rsn")
-                compress_file(algorithms, files[0], out)
+                compress_file(algorithms, files[0], out, container=container, block_size=block_size)
         except KeyError as exc:
             return _error(f"{exc.args[0]}\nValid algorithms: {', '.join(registry.ENGINES)}\n")
         if delete_after:

@@ -75,14 +75,29 @@ def get_compressed_file_from_path(path: str) -> CompressedFile:
 
 
 def compress_file(
-    algorithms: list[str], path: str, output: str, quiet: bool = False, backend: str | None = None
+    algorithms: list[str],
+    path: str,
+    output: str,
+    quiet: bool = False,
+    backend: str | None = None,
+    container: bool = False,
+    block_size: int = 1 << 16,
 ) -> bytes:
-    """Parity with engine.CompressFile (engine.go:157)."""
+    """Parity with engine.CompressFile (engine.go:157).
+
+    With ``container=True`` the output is an RSNB block container (the
+    block-parallel scale path) instead of a raw layered stream.
+    """
     with open(path, "rb") as f:
         contents = f.read()
     if not quiet:
         print("Compressing...")
-    compressed = compress_bytes(contents, algorithms, backend)
+    if container:
+        from raisin_tpu.parallel.blocks import compress_container
+
+        compressed = compress_container(contents, tuple(algorithms), block_size)
+    else:
+        compressed = compress_bytes(contents, algorithms, backend)
     with open(output, "wb") as f:
         f.write(compressed)
     if not quiet:
@@ -101,7 +116,12 @@ def decompress_file(
         contents = f.read()
     if not quiet:
         print("Decompressing...")
-    decompressed = decompress_bytes(contents, algorithms, backend)
+    if contents[:4] == b"RSNB":
+        from raisin_tpu.parallel.blocks import decompress_container
+
+        decompressed = decompress_container(contents)
+    else:
+        decompressed = decompress_bytes(contents, algorithms, backend)
     with open(output, "wb") as f:
         f.write(decompressed)
     return decompressed

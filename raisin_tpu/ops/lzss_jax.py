@@ -48,6 +48,68 @@ MAX_TOKEN_LEN = 11  # "<dddd,dddd>"
 # Match search
 
 
+def _match_scan(xb, n, window: int, wl: int, d0):
+    """Per-position best match over the distance sub-range (d0, d0+wl].
+
+    xb: (S,) int32 escaped bytes (-1 past n); window: full window size
+    (pads the left sentinel region); wl: local distance count (static);
+    d0: first distance minus one (0 for the full window; the tensor-parallel
+    shard offset otherwise — may be a traced value).
+
+    Returns (L, D): the longest match using only distances in the sub-range
+    and its largest achieving distance. Combining shards is max over L then
+    max over D among shards achieving the global L (parallel.lzss_sharded).
+
+    Performance notes: run lengths are kept in a REVERSED-distance layout so
+    every inner slice is static (no per-iteration reversals or dynamic
+    slices), and the hot state is int16 (distances <= 4096) to double VPU
+    lane utilization.
+    """
+    S = xb.shape[0]
+    num_steps = S // TILE
+    x16 = xb.astype(jnp.int16)
+    # left-pad with sentinel so x[i-d] reads never match
+    xp = jnp.concatenate([jnp.full((window,), -2, dtype=jnp.int16), x16])
+    # reversed layout: lane j holds distance d = d0 + wl - j (descending)
+    dvec = (jnp.int32(d0) + wl - jnp.arange(wl, dtype=jnp.int32)).astype(jnp.int16)
+    static_full = isinstance(d0, int) and d0 == 0 and wl == window
+
+    def step(rl, t):
+        # t counts down: process positions [t*TILE, t*TILE+TILE) descending
+        base = t * TILE
+        win = jax.lax.dynamic_slice(xp, (base,), (window + TILE,))
+        if static_full:
+            win2 = win
+        else:
+            win2 = jax.lax.dynamic_slice(win, (window - d0 - wl,), (wl + TILE,))
+        outs_L = []
+        outs_D = []
+        for u in range(TILE - 1, -1, -1):
+            cur = win[window + u]
+            prev = jax.lax.slice_in_dim(win2, u, u + wl)  # static slice
+            eq = (prev == cur) & (cur >= 0)
+            # clamp above the max useful value (window) to avoid int16 wrap
+            rl = jnp.where(eq, jnp.minimum(rl + jnp.int16(1), jnp.int16(8192)), jnp.int16(0))
+            cap = jnp.minimum(rl, dvec)
+            L = jnp.max(cap)
+            D = jnp.max(jnp.where(cap >= L, dvec, jnp.int16(0)))
+            valid = (L > 0) & (base + u < n)
+            outs_L.append(jnp.where(valid, L, jnp.int16(0)))
+            outs_D.append(jnp.where(valid, D, jnp.int16(0)))
+        # outs are for u = TILE-1 .. 0; flip to ascending position order
+        return rl, (jnp.stack(outs_L[::-1]), jnp.stack(outs_D[::-1]))
+
+    rl0 = jnp.zeros((wl,), dtype=jnp.int16)
+    _, (Ls, Ds) = jax.lax.scan(
+        step, rl0, jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
+    )
+    # scan emitted tiles in descending t order; restore ascending
+    return (
+        Ls[::-1].reshape(S).astype(jnp.int32),
+        Ds[::-1].reshape(S).astype(jnp.int32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("window", "num_steps"))
 def find_matches_blocks(x: jax.Array, lengths: jax.Array, window: int, num_steps: int):
     """Exact per-position (L, D) for B blocks.
@@ -60,41 +122,9 @@ def find_matches_blocks(x: jax.Array, lengths: jax.Array, window: int, num_steps
 
     Returns L, D: (B, S) int32 ((0, 0) where no match).
     """
-    B, S = x.shape
-    dvec = jnp.arange(1, window + 1, dtype=jnp.int32)  # (W,)
 
     def one_block(xb, n):
-        # left-pad with sentinel so x[i-d] reads never match
-        xp = jnp.concatenate([jnp.full((window,), -2, dtype=jnp.int32), xb])
-
-        def step(rl, t):
-            # t counts down: process positions [t*TILE, t*TILE+TILE) descending
-            base = t * TILE
-            win = jax.lax.dynamic_slice(xp, (base,), (window + TILE,))
-            outs_L = []
-            outs_D = []
-            for u in range(TILE - 1, -1, -1):
-                i = base + u
-                cur = win[window + u]
-                # bytes at i-d for d=1..W, d ascending
-                prev = jax.lax.dynamic_slice(win, (u,), (window,))[::-1]
-                eq = (prev == cur) & (cur >= 0)
-                rl = jnp.where(eq, rl + 1, 0)
-                cap = jnp.minimum(rl, dvec)
-                L = jnp.max(cap)
-                D = jnp.max(jnp.where(cap >= L, dvec, 0))
-                valid = (L > 0) & (i < n)
-                outs_L.append(jnp.where(valid, L, 0))
-                outs_D.append(jnp.where(valid, D, 0))
-            # outs are for u = TILE-1 .. 0; flip to ascending position order
-            return rl, (jnp.stack(outs_L[::-1]), jnp.stack(outs_D[::-1]))
-
-        rl0 = jnp.zeros((window,), dtype=jnp.int32)
-        _, (Ls, Ds) = jax.lax.scan(
-            step, rl0, jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
-        )
-        # scan emitted tiles in descending t order; restore ascending
-        return Ls[::-1].reshape(S), Ds[::-1].reshape(S)
+        return _match_scan(xb, n, window, window, jnp.int32(0))
 
     return jax.vmap(one_block)(x, lengths)
 

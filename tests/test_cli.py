@@ -81,3 +81,14 @@ def test_benchmark_generate_html(tmp_path, capsys, monkeypatch):
     assert os.path.exists(tmp_path / "index.html")
     html = (tmp_path / "index.html").read_text()
     assert "go-pretty-table" in html and "arithmetic" in html
+
+
+def test_container_flag_roundtrip(tmp_path):
+    src = _write(tmp_path, "c.txt", VERSE * 20)
+    assert main(["raisin", str(src), "-container", "-blocksize=2048", f"-out={src}.rsnb"]) == 0
+    with open(f"{src}.rsnb", "rb") as f:
+        assert f.read(4) == b"RSNB"
+    # decompress auto-detects the container magic
+    assert main(["raisin", "-decompress", f"{src}.rsnb", f"-out={src}.out", "-no-delete"]) == 0
+    with open(f"{src}.out", "rb") as f:
+        assert f.read() == VERSE * 20

@@ -1,0 +1,75 @@
+"""RSNB container + mesh-sharded block encode/decode (8 virtual CPU devices)."""
+
+import jax
+import pytest
+
+from raisin_tpu.parallel import (
+    compress_container,
+    decompress_container,
+    data_mesh,
+)
+from raisin_tpu.parallel.blocks import parse_container
+
+from fixtures import VERSE, random_bytes, random_text
+
+PIPELINES = [("arithmetic",), ("lzss",), ("lzss", "arithmetic"), ("huffman",), ("gzip",)]
+
+
+@pytest.mark.parametrize("algorithms", PIPELINES)
+def test_container_roundtrip(algorithms):
+    data = random_text(10_000, seed=80)
+    c = compress_container(data, algorithms, block_size=2048)
+    assert decompress_container(c) == data
+
+
+def test_container_empty():
+    c = compress_container(b"", ("arithmetic",), block_size=2048)
+    assert decompress_container(c) == b""
+
+
+def test_container_binary():
+    data = random_bytes(9_999, seed=81)
+    c = compress_container(data, ("lzss", "arithmetic"), block_size=4000)
+    assert decompress_container(c) == data
+
+
+def test_container_metadata():
+    data = VERSE * 10
+    c = compress_container(data, ("lzss", "arithmetic"), block_size=1024)
+    algorithms, block_size, orig_size, payloads, aux = parse_container(c)
+    assert algorithms == ("lzss", "arithmetic")
+    assert block_size == 1024
+    assert orig_size == len(data)
+    assert len(payloads) == (len(data) + 1023) // 1024
+    assert len(aux) == 1  # intermediate token-stream lengths
+
+
+def test_container_blocks_are_reference_format():
+    # every block payload must be an exact single-stream .rsn encoding
+    from raisin_tpu.formats import arithmetic_ref
+
+    data = random_text(5_000, seed=82)
+    c = compress_container(data, ("arithmetic",), block_size=2048)
+    _, block_size, _, payloads, _ = parse_container(c)
+    for i, p in enumerate(payloads):
+        block = data[i * block_size : (i + 1) * block_size]
+        assert p == arithmetic_ref.compress(block)
+
+
+@pytest.mark.parametrize("algorithms", [("arithmetic",), ("lzss", "arithmetic")])
+def test_sharded_encode_decode_on_mesh(algorithms):
+    assert len(jax.devices()) == 8, "conftest should force 8 virtual CPU devices"
+    mesh = data_mesh(8)
+    data = random_text(40_000, seed=83)
+    c = compress_container(data, algorithms, block_size=2048, mesh=mesh)
+    # sharded output equals unsharded output byte-for-byte
+    assert c == compress_container(data, algorithms, block_size=2048)
+    assert decompress_container(c, mesh=mesh) == data
+
+
+def test_mesh_padding_of_ragged_block_counts():
+    # 3 blocks over an 8-device mesh: padded internally, dropped at assembly
+    mesh = data_mesh(8)
+    data = random_text(5_000, seed=84)
+    c = compress_container(data, ("arithmetic",), block_size=2048, mesh=mesh)
+    assert decompress_container(c) == data
