@@ -1,0 +1,431 @@
+/* Native host runtime for the `.rsn` wire formats.
+ *
+ * Exact-format C implementations of the sequential hot paths that neither
+ * vectorize onto the TPU (whole-file decode of formats that carry no length
+ * metadata) nor run acceptably in Python. Formats match raisin_tpu.formats
+ * byte-for-byte (which in turn match the Go reference; citations inline).
+ *
+ * Exported ABI (ctypes): every function returns the number of bytes written
+ * to *out, or a negative error code. `rsn_buf` outputs are malloc'd and
+ * must be released with rsn_free.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define RSN_ERR_ALLOC -1
+#define RSN_ERR_FORMAT -2
+
+/* ------------------------------------------------------------------ */
+/* growable output buffer                                              */
+
+typedef struct {
+    uint8_t *p;
+    size_t len;
+    size_t cap;
+} buf_t;
+
+static int buf_init(buf_t *b, size_t cap) {
+    b->p = (uint8_t *)malloc(cap ? cap : 64);
+    b->len = 0;
+    b->cap = cap ? cap : 64;
+    return b->p ? 0 : -1;
+}
+
+static int buf_reserve(buf_t *b, size_t extra) {
+    if (b->len + extra <= b->cap) return 0;
+    size_t cap = b->cap;
+    while (cap < b->len + extra) cap *= 2;
+    uint8_t *np = (uint8_t *)realloc(b->p, cap);
+    if (!np) return -1;
+    b->p = np;
+    b->cap = cap;
+    return 0;
+}
+
+static int buf_push(buf_t *b, uint8_t v) {
+    if (buf_reserve(b, 1)) return -1;
+    b->p[b->len++] = v;
+    return 0;
+}
+
+static int buf_append(buf_t *b, const uint8_t *src, size_t n) {
+    if (buf_reserve(b, n)) return -1;
+    memcpy(b->p + b->len, src, n);
+    b->len += n;
+    return 0;
+}
+
+void rsn_free(uint8_t *p) { free(p); }
+
+/* ------------------------------------------------------------------ */
+/* LZSS (compressor/lz/lzss.go semantics)                              */
+
+#define LZ_OPENING 0x3C
+#define LZ_CLOSING 0x3E
+#define LZ_SEP 0x2C
+#define LZ_ENC_OPENING 0xFF
+#define LZ_ESCAPE 0x5C
+
+/* escape pre-pass (lzss.go:369) */
+static int lz_escape(const uint8_t *in, long n, buf_t *out) {
+    for (long i = 0; i < n; i++) {
+        uint8_t v = in[i];
+        if (v == LZ_OPENING) {
+            if (buf_push(out, LZ_ENC_OPENING)) return -1;
+        } else if (v == LZ_ENC_OPENING || v == LZ_ESCAPE) {
+            if (buf_push(out, LZ_ESCAPE) || buf_push(out, v)) return -1;
+        } else {
+            if (buf_push(out, v)) return -1;
+        }
+    }
+    return 0;
+}
+
+/* escape decode pass (lzss.go:391) */
+static int lz_unescape(const uint8_t *in, size_t n, buf_t *out) {
+    int esc = 0;
+    for (size_t i = 0; i < n; i++) {
+        uint8_t v = in[i];
+        if (v == LZ_ENC_OPENING && !esc) {
+            if (buf_push(out, LZ_OPENING)) return -1;
+        } else if (v == LZ_ESCAPE && !esc) {
+            esc = 1;
+        } else {
+            esc = 0;
+            if (buf_push(out, v)) return -1;
+        }
+    }
+    return 0;
+}
+
+static int lz_token(uint8_t *tmp, long d, long l) {
+    /* "<D,L>" — decimal ASCII (lzss.go:318); returns length */
+    int k = 0;
+    tmp[k++] = LZ_OPENING;
+    char num[12];
+    int m = 0;
+    long v = d;
+    do { num[m++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (m) tmp[k++] = (uint8_t)num[--m];
+    tmp[k++] = LZ_SEP;
+    v = l;
+    do { num[m++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (m) tmp[k++] = (uint8_t)num[--m];
+    tmp[k++] = LZ_CLOSING;
+    return k;
+}
+
+/* exact greedy match search + commit (CompressAsync semantics, lzss.go:109):
+ * per position, the longest k with enc[i:i+k] a substring of the trailing
+ * window and the LEFTMOST occurrence (bytes.Index). Hash chains over 3-byte
+ * prefixes enumerate all >=3 candidates (every occurrence of the final
+ * longest string shares the 3-byte prefix, so the walk is complete); 1- and
+ * 2-byte existence comes from small recency tables. Tokens shorter than 6
+ * bytes are never emitted (min token length 5), so D only matters when the
+ * chain produced it. */
+#define HASH_BITS 16
+#define HASH_SIZE (1 << HASH_BITS)
+
+static inline uint32_t hash3(const uint8_t *p) {
+    return ((uint32_t)p[0] * 506832829u + (uint32_t)p[1] * 2654435761u +
+            (uint32_t)p[2] * 40503u) >> (32 - HASH_BITS);
+}
+
+long rsn_lzss_compress(const uint8_t *in, long n_in, int window,
+                       uint8_t **out_p, long *out_len) {
+    buf_t enc;
+    if (buf_init(&enc, (size_t)n_in + 16)) return RSN_ERR_ALLOC;
+    if (lz_escape(in, n_in, &enc)) { free(enc.p); return RSN_ERR_ALLOC; }
+    long n = (long)enc.len;
+    const uint8_t *x = enc.p;
+
+    int32_t *head = (int32_t *)malloc(sizeof(int32_t) * HASH_SIZE);
+    int32_t *next = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n > 0 ? n : 1));
+    int32_t *L = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n > 0 ? n : 1));
+    int32_t *D = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n > 0 ? n : 1));
+    int32_t last1[256];
+    int32_t last2[65536][2]; /* two most recent starts per pair */
+    buf_t out;
+    if (!head || !next || !L || !D || buf_init(&out, (size_t)n + 16)) {
+        free(enc.p); free(head); free(next); free(L); free(D);
+        return RSN_ERR_ALLOC;
+    }
+    memset(head, -1, sizeof(int32_t) * HASH_SIZE);
+    for (int i = 0; i < 256; i++) last1[i] = -1;
+    memset(last2, -1, sizeof(last2));
+
+    for (long i = 0; i < n; i++) {
+        long lo = i - window;
+        if (window <= 0) lo = 0;
+        if (lo < 0) lo = 0;
+
+        long bestl = 0, bests = -1;
+        /* 1-byte existence: any s in [lo, i-1] with x[s] == x[i] */
+        if (last1[x[i]] >= lo) bestl = 1;
+        /* 2-byte existence: any s in [lo, i-2] */
+        if (i + 1 < n) {
+            uint32_t pair = ((uint32_t)x[i] << 8) | x[i + 1];
+            int32_t s0 = last2[pair][0], s1 = last2[pair][1];
+            if ((s0 >= lo && s0 <= i - 2) || (s1 >= lo && s1 <= i - 2)) bestl = 2;
+        }
+        /* >=3: walk the chain (most-recent first), track longest + leftmost.
+         * A candidate's usable length is capped by i-s (match fully in the
+         * prefix) and n-i; the D candidate set is exactly the occurrences
+         * whose capped length equals the final best length. */
+        if (i + 2 < n) {
+            for (int32_t s = head[hash3(x + i)]; s >= 0 && s >= lo; s = next[s]) {
+                long cap = i - s;
+                long maxl = n - i < cap ? n - i : cap;
+                if (maxl < bestl) continue; /* can't match or tie */
+                long l = 0;
+                while (l < maxl && x[s + l] == x[i + l]) l++;
+                if (l > bestl) {
+                    bestl = l;
+                    bests = s;
+                } else if (l == bestl && l > 0 && (bests < 0 || s < bests)) {
+                    bests = s; /* leftmost occurrence at the best length */
+                }
+            }
+        }
+        L[i] = (int32_t)bestl;
+        D[i] = bests >= 0 ? (int32_t)(i - bests) : 0;
+
+        /* advance tables with position i */
+        last1[x[i]] = (int32_t)i;
+        if (i + 1 < n) {
+            uint32_t pair = ((uint32_t)x[i] << 8) | x[i + 1];
+            last2[pair][1] = last2[pair][0];
+            last2[pair][0] = (int32_t)i;
+        }
+        if (i + 2 < n) {
+            uint32_t h = hash3(x + i);
+            next[i] = head[h];
+            head[h] = (int32_t)i;
+        }
+    }
+
+    /* commit pass (lzss.go:134-151) */
+    uint8_t tok[16];
+    long ignore = 0;
+    int oom = 0;
+    for (long i = 0; i < n && !oom; i++) {
+        if (ignore > 0) { ignore--; continue; }
+        long l = L[i];
+        if (l > 0) {
+            ignore = l - 1;
+            int tl = lz_token(tok, D[i], l);
+            if (tl < l) {
+                oom = buf_append(&out, tok, (size_t)tl);
+            } else {
+                oom = buf_append(&out, x + i, (size_t)l);
+            }
+        } else {
+            oom = buf_push(&out, x[i]);
+        }
+    }
+
+    free(enc.p); free(head); free(next); free(L); free(D);
+    if (oom) { free(out.p); return RSN_ERR_ALLOC; }
+    *out_p = out.p;
+    *out_len = (long)out.len;
+    return 0;
+}
+
+long rsn_lzss_decompress(const uint8_t *in, long n, uint8_t **out_p, long *out_len) {
+    /* token state machine (lzss.go:332) over the escaped stream, then the
+     * escape decode pass */
+    buf_t search;
+    if (buf_init(&search, (size_t)n + 16)) return RSN_ERR_ALLOC;
+    long pointer = 0, offset = 0;
+    long num = 0;
+    int state = 0; /* 0: literal/looking-for '<', 1: pointer, 2: offset */
+    int err = 0;
+    for (long i = 0; i < n && !err; i++) {
+        uint8_t v = in[i];
+        if (state == 0) {
+            if (v == LZ_OPENING) { state = 1; num = 0; }
+            else err = buf_push(&search, v) ? RSN_ERR_ALLOC : 0;
+        } else if (state == 1) {
+            if (v == LZ_SEP) { pointer = num; num = 0; state = 2; }
+            else if (v >= '0' && v <= '9') num = num * 10 + (v - '0');
+            /* non-digits: Go's Atoi would yield 0; digits-only in valid data */
+        } else {
+            if (v == LZ_CLOSING) {
+                offset = num; num = 0; state = 0;
+                long abs = (long)search.len - pointer;
+                if (abs < 0 || abs + offset > (long)search.len) { err = RSN_ERR_FORMAT; break; }
+                if (buf_reserve(&search, (size_t)offset)) { err = RSN_ERR_ALLOC; break; }
+                memcpy(search.p + search.len, search.p + abs, (size_t)offset);
+                search.len += (size_t)offset;
+            } else if (v >= '0' && v <= '9') num = num * 10 + (v - '0');
+        }
+    }
+    if (err) { free(search.p); return err; }
+    buf_t out;
+    if (buf_init(&out, search.len + 16)) { free(search.p); return RSN_ERR_ALLOC; }
+    if (lz_unescape(search.p, search.len, &out)) {
+        free(search.p); free(out.p); return RSN_ERR_ALLOC;
+    }
+    free(search.p);
+    *out_p = out.p;
+    *out_len = (long)out.len;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* adaptive arithmetic coder (compressor/arithmetic semantics)         */
+
+#define AR_MAX_CODE 0xFFFFu
+#define AR_ONE_FOURTH 0x4000u
+#define AR_ONE_HALF 0x8000u
+#define AR_THREE_FOURTHS 0xC000u
+#define AR_MAX_FREQ 16383
+#define AR_EOF 256
+
+typedef struct {
+    uint32_t cum[258];
+    int frozen;
+} ar_model_t;
+
+static void ar_model_init(ar_model_t *m) {
+    for (int i = 0; i < 258; i++) m->cum[i] = (uint32_t)i;
+    m->frozen = 0;
+}
+
+static void ar_model_update(ar_model_t *m, int s) {
+    if (m->frozen) return;
+    for (int j = s + 1; j < 258; j++) m->cum[j]++;
+    if (m->cum[257] >= AR_MAX_FREQ) m->frozen = 1;
+}
+
+typedef struct {
+    buf_t bits; /* one byte per bit; packed at the end */
+} ar_bits_t;
+
+static inline int ar_emit(buf_t *b, int bit, long pending) {
+    if (buf_push(b, (uint8_t)bit)) return -1;
+    if (buf_reserve(b, (size_t)pending)) return -1;
+    memset(b->p + b->len, bit ? 0 : 1, (size_t)pending);
+    b->len += (size_t)pending;
+    return 0;
+}
+
+long rsn_arith_compress(const uint8_t *in, long n, uint8_t **out_p, long *out_len) {
+    ar_model_t m;
+    ar_model_init(&m);
+    buf_t bits;
+    if (buf_init(&bits, (size_t)n + 64)) return RSN_ERR_ALLOC;
+
+    uint32_t low = 0, high = AR_MAX_CODE;
+    long pending = 0;
+    int oom = 0;
+    for (long k = 0; k <= n && !oom; k++) {
+        int s = (k < n) ? in[k] : AR_EOF;
+        uint32_t difference = high - low + 1;
+        uint32_t lower = m.cum[s], upper = m.cum[s + 1], count = m.cum[257];
+        ar_model_update(&m, s);
+        high = low + (difference * upper) / count - 1;
+        low = low + (difference * lower) / count;
+        for (;;) {
+            if (high < AR_ONE_HALF) {
+                oom = ar_emit(&bits, 0, pending);
+                pending = 0;
+            } else if (low >= AR_ONE_HALF) {
+                oom = ar_emit(&bits, 1, pending);
+                pending = 0;
+            } else if (low >= AR_ONE_FOURTH && high < AR_THREE_FOURTHS) {
+                pending++;
+                low -= AR_ONE_FOURTH;
+                high -= AR_ONE_FOURTH;
+            } else break;
+            if (oom) break;
+            high = ((high << 1) + 1) & AR_MAX_CODE;
+            low = (low << 1) & AR_MAX_CODE;
+        }
+        /* NB: no final flush — trailing pending bits drop (format quirk) */
+    }
+    if (oom) { free(bits.p); return RSN_ERR_ALLOC; }
+
+    /* prepad sentinel (bits.go:48) + MSB pack */
+    long pad = 8 - ((long)bits.len % 8);
+    long total = (long)bits.len + pad;
+    buf_t out;
+    if (buf_init(&out, (size_t)(total / 8))) { free(bits.p); return RSN_ERR_ALLOC; }
+    uint32_t acc = 0;
+    int nb = 0;
+    for (long i = 0; i < total; i++) {
+        int bit = (i < pad) ? (i == pad - 1) : bits.p[i - pad];
+        acc = (acc << 1) | (uint32_t)bit;
+        if (++nb == 8) {
+            if (buf_push(&out, (uint8_t)acc)) { free(bits.p); free(out.p); return RSN_ERR_ALLOC; }
+            acc = 0; nb = 0;
+        }
+    }
+    free(bits.p);
+    *out_p = out.p;
+    *out_len = (long)out.len;
+    return 0;
+}
+
+long rsn_arith_decompress(const uint8_t *in, long n, uint8_t **out_p, long *out_len) {
+    /* unpack prepad-sentinel bits */
+    long total_bits = n * 8;
+    long start = -1;
+    for (long i = 0; i < total_bits; i++) {
+        if ((in[i / 8] >> (7 - (i % 8))) & 1) { start = i + 1; break; }
+    }
+    if (start < 0) return RSN_ERR_FORMAT;
+    long nbits = total_bits - start + 2; /* appended [1,0] tail */
+
+    ar_model_t m;
+    ar_model_init(&m);
+    uint32_t low = 0, high = AR_MAX_CODE, value = 0;
+    long pos = 0;
+#define AR_BIT(j) ((j) < nbits ? (((j) < nbits - 2) \
+        ? ((in[(start + (j)) / 8] >> (7 - ((start + (j)) % 8))) & 1u) \
+        : ((j) == nbits - 2 ? 1u : 0u)) : 0u)
+    for (int i = 0; i < 16; i++) value = (value << 1) | AR_BIT(pos), pos++;
+
+    buf_t out;
+    if (buf_init(&out, (size_t)(n * 2 + 64))) return RSN_ERR_ALLOC;
+    long exhausted = 0;
+    for (;;) {
+        uint32_t difference = high - low + 1;
+        uint32_t count = m.cum[257];
+        uint32_t scaled = ((value - low + 1) * count - 1) / difference;
+        /* binary search: first s with scaled < cum[s+1] (arithmetic.go:206) */
+        int lo_i = 0, hi_i = 257;
+        while (lo_i < hi_i) {
+            int mid = (lo_i + hi_i) / 2;
+            if (scaled < m.cum[mid + 1]) hi_i = mid; else lo_i = mid + 1;
+        }
+        int s = lo_i;
+        uint32_t lower = m.cum[s], upper = m.cum[s + 1];
+        ar_model_update(&m, s);
+        if (s == AR_EOF) break;
+        if (buf_push(&out, (uint8_t)s)) { free(out.p); return RSN_ERR_ALLOC; }
+        high = low + (difference * upper) / count - 1;
+        low = low + (difference * lower) / count;
+        for (;;) {
+            if (high < AR_ONE_HALF) {
+            } else if (low >= AR_ONE_HALF) {
+                value -= AR_ONE_HALF; low -= AR_ONE_HALF; high -= AR_ONE_HALF;
+            } else if (low >= AR_ONE_FOURTH && high < AR_THREE_FOURTHS) {
+                value -= AR_ONE_FOURTH; low -= AR_ONE_FOURTH; high -= AR_ONE_FOURTH;
+            } else break;
+            low <<= 1;
+            high = (high << 1) + 1;
+            value = (value << 1) | AR_BIT(pos);
+            if (pos >= nbits) {
+                if (++exhausted > 256) { free(out.p); return RSN_ERR_FORMAT; }
+            }
+            pos++;
+        }
+    }
+#undef AR_BIT
+    *out_p = out.p;
+    *out_len = (long)out.len;
+    return 0;
+}

@@ -1,0 +1,64 @@
+"""Native C backends vs. host oracles — byte equality."""
+
+import pytest
+
+from raisin_tpu import native
+from raisin_tpu.formats import arithmetic_ref, lzss_ref
+
+from fixtures import HELLO, ABC, VERSE, random_bytes, random_text
+
+CASES = [
+    b"",
+    b"a",
+    HELLO,
+    ABC,
+    b"a" * 300,
+    VERSE,
+    b"<><>,<>",
+    b"\x5c\xff<tag>\x5c\x5c",
+    random_bytes(3000, seed=90),
+    random_text(6000, seed=91),
+]
+
+
+@pytest.mark.parametrize("payload", CASES)
+def test_native_lzss_matches_oracle(payload):
+    got = native.lzss_compress(payload)
+    assert got == lzss_ref.compress(payload)
+    assert native.lzss_decompress(got) == payload
+
+
+@pytest.mark.parametrize("payload", CASES)
+def test_native_arithmetic_matches_oracle(payload):
+    got = native.arith_compress(payload)
+    assert got == arithmetic_ref.compress(payload)
+    assert native.arith_decompress(got) == payload
+
+
+def test_native_lzss_window_sizes():
+    chunk = b"0123456789unique-pattern-here"
+    data = chunk + random_bytes(5000, seed=92) + chunk
+    for w in (1024, 4096, 8192):
+        assert native.lzss_compress(data, window_size=w) == lzss_ref.compress(data, window_size=w)
+
+
+def test_native_arithmetic_freeze_path():
+    payload = random_text(20_000, seed=93)
+    assert native.arith_compress(payload) == arithmetic_ref.compress(payload)
+    assert native.arith_decompress(native.arith_compress(payload)) == payload
+
+
+def test_native_decompress_rejects_garbage():
+    with pytest.raises(ValueError):
+        native.arith_decompress(b"\x00\x00\x00")  # no sentinel bit
+    with pytest.raises(ValueError):
+        native.lzss_decompress(b"<999,999>")  # reference outside window
+
+
+def test_registered_as_native_backend():
+    from raisin_tpu.engine.registry import available_backends, get_codec
+
+    assert "native" in available_backends("lzss")
+    assert "native" in available_backends("arithmetic")
+    codec = get_codec("arithmetic", backend="native")
+    assert codec.compress(VERSE) == arithmetic_ref.compress(VERSE)
