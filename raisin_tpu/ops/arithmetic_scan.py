@@ -174,6 +174,134 @@ def _expand_block_bits(slots, slot0, max_bits: int):
     return out, total + pad
 
 
+@functools.partial(jax.jit, static_argnames=("num_steps", "cap_bytes"))
+def encode_blocks_packed(
+    payload: jax.Array, lengths: jax.Array, num_steps: int, cap_bytes: int
+):
+    """Fully-device encode: blocks in, ONE compact byte buffer out.
+
+    Designed for hosts with expensive device->host readback: the `.rsn`
+    bitstreams are packed to bytes and concatenated on device, so the only
+    transfers are ``flat[:sum(byte_lens)]`` plus a tiny length vector.
+
+    Args:
+      payload: (B, num_steps) uint8 block bytes (values past lengths ignored).
+      lengths: (B,) int32.
+      cap_bytes: static output capacity; caller checks sum(byte_lens) <=
+        cap_bytes and retries with the proven bound if exceeded.
+
+    Returns (flat (cap_bytes,) uint8, byte_lens (B,) int32).
+    """
+    B = payload.shape[0]
+    steps = jnp.arange(num_steps, dtype=jnp.int32)
+    symbols = jnp.where(steps[None, :] < lengths[:, None], payload.astype(jnp.int32), EOF)
+    padded_bits, bit_lengths = encode_blocks(symbols, lengths, num_steps)
+    byte_lens = bit_lengths // 8
+
+    # pack bits -> bytes on device (MSB first)
+    mb = padded_bits.shape[1]
+    mbytes = mb // 8
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.int32)
+    packed = jnp.sum(
+        padded_bits[:, : mbytes * 8].reshape(B, mbytes, 8).astype(jnp.int32)
+        * weights[None, None, :],
+        axis=-1,
+    ).astype(jnp.uint8)
+
+    # concatenate blocks: flat[o] = packed[b, o - start_b]
+    ends = jnp.cumsum(byte_lens)
+    o = jnp.arange(cap_bytes, dtype=jnp.int32)
+    b = jnp.searchsorted(ends, o, side="right")
+    b = jnp.clip(b, 0, B - 1)
+    within = o - (ends[b] - byte_lens[b])
+    flat = packed[b, jnp.clip(within, 0, mbytes - 1)]
+    flat = jnp.where(o < ends[-1], flat, 0).astype(jnp.uint8)
+    return flat, byte_lens
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "max_bytes"))
+def decode_blocks_packed(
+    flat: jax.Array,
+    byte_offsets: jax.Array,
+    byte_lens: jax.Array,
+    out_lens: jax.Array,
+    num_steps: int,
+    max_bytes: int,
+):
+    """Fully-device decode of concatenated `.rsn` arithmetic streams.
+
+    Args:
+      flat: (cap,) uint8 concatenated per-block payloads.
+      byte_offsets/byte_lens: (B,) int32 per-block extents in ``flat``.
+      out_lens: (B,) int32 known decoded byte count per block.
+      num_steps: static scan length (>= max(out_lens) + 1).
+      max_bytes: static per-block payload bound (>= max(byte_lens)).
+
+    Returns (blocks (B, num_steps) uint8, eof_ok (B,) bool).
+    """
+    # slice each block's bytes and unpack to bits (vectorized shifts)
+    idx = byte_offsets[:, None] + jnp.arange(max_bytes, dtype=jnp.int32)[None, :]
+    valid = jnp.arange(max_bytes, dtype=jnp.int32)[None, :] < byte_lens[:, None]
+    bb = jnp.where(valid, flat[jnp.clip(idx, 0, flat.shape[0] - 1)], 0).astype(jnp.int32)
+    shifts = jnp.array([7, 6, 5, 4, 3, 2, 1, 0], dtype=jnp.int32)
+    bits = ((bb[:, :, None] >> shifts[None, None, :]) & 1).reshape(bb.shape[0], -1)
+    bits = bits.astype(jnp.uint8)
+
+    # strip the prepad sentinel: payload begins after the first 1 bit
+    start = jnp.argmax(bits, axis=1) + 1
+    nbits_payload = byte_lens * 8 - start
+
+    def one_block(bits_b, start_b, np_b, n):
+        def read_bit(pos):
+            # payload bits, then the appended [1, 0] tail, then zero-fill
+            # (reference arithmetic.go:48, bits.go:12)
+            j = jnp.clip(start_b + pos, 0, bits_b.shape[0] - 1)
+            raw = bits_b[j].astype(jnp.int32)
+            return jnp.where(pos < np_b, raw, jnp.where(pos == np_b, 1, 0))
+
+        value0 = jnp.int32(0)
+        for i in range(16):
+            value0 = (value0 << 1) | read_bit(jnp.int32(i))
+
+        def step(carry, active):
+            value, low, high, pos, cum, frozen = carry
+            difference = high - low + 1
+            count = cum[257]
+            scaled = ((value - low + 1) * count - 1) // difference
+            sym = jnp.minimum(jnp.sum((cum[1:258] <= scaled).astype(jnp.int32)), 256)
+            lower = cum[sym]
+            upper = cum[sym + 1]
+            upd = (~frozen) & active
+            cum = jnp.where(upd, cum + (_idx258() > sym).astype(jnp.int32), cum)
+            frozen = frozen | (cum[257] >= MAX_FREQ)
+            is_eof = sym == EOF
+            act = active & ~is_eof
+            high = jnp.where(act, low + (difference * upper) // count - 1, high)
+            low = jnp.where(act, low + (difference * lower) // count, low)
+            done = ~act
+            for _ in range(RENORM_ITERS):
+                e1 = high < ONE_HALF
+                e2 = low >= ONE_HALF
+                e3 = (low >= ONE_FOURTH) & (high < THREE_FOURTHS)
+                cont = (e1 | e2 | e3) & ~done
+                sub = jnp.where(e2, ONE_HALF, jnp.where(e3 & ~e1, ONE_FOURTH, 0))
+                value = jnp.where(cont, ((value - sub) << 1) + read_bit(pos), value)
+                low = jnp.where(cont, (low - sub) << 1, low)
+                high = jnp.where(cont, ((high - sub) << 1) + 1, high)
+                pos = jnp.where(cont, pos + 1, pos)
+                done = done | ~cont
+            return (value, low, high, pos, cum, frozen), jnp.where(active, sym, EOF)
+
+        steps = jnp.arange(num_steps, dtype=jnp.int32)
+        active = steps <= n
+        init = (value0, jnp.int32(0), jnp.int32(MAX_CODE), jnp.int32(16), _fresh_model(), jnp.bool_(False))
+        _, syms = jax.lax.scan(step, init, active)
+        eof_ok = syms[n] == EOF
+        return jnp.where(steps < n, syms, 0).astype(jnp.uint8), eof_ok
+
+    return jax.vmap(one_block)(bits, start, nbits_payload, out_lens)
+
+
 # ---------------------------------------------------------------------------
 # Decode
 

@@ -34,9 +34,8 @@ import jax
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from raisin_tpu.bitkit.packing import unpack_prepad_sentinel
 from raisin_tpu.formats.lzss_ref import encode_opening_symbols
-from raisin_tpu.ops import arithmetic_scan, lzss_jax
+from raisin_tpu.ops import arithmetic_scan
 
 MAGIC = b"RSNB"
 VERSION = 1
@@ -85,91 +84,159 @@ def _pad_block_count(b: int, mesh) -> int:
 
 # ---------------------------------------------------------------------------
 # Device batch encoders (per pipeline)
+#
+# Device->host readback can be orders of magnitude slower than compute
+# (tunneled TPU hosts), so every path transfers exactly: the concatenated
+# compressed bytes (or decoded blocks) plus tiny per-block length vectors.
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _mesh_size(mesh) -> int:
+    return 1 if mesh is None else mesh.devices.size
+
+
+def _split_flat(flat: np.ndarray, lens: np.ndarray, count: int, mesh=None) -> list[bytes]:
+    """Recover per-block payloads from the compacted buffer.
+
+    Under shard_map each device compacts its local blocks into its own
+    cap/n-sized segment, so offsets restart at every segment boundary.
+    """
+    n = _mesh_size(mesh)
+    cap_local = flat.size // n
+    per_seg = len(lens) // n
+    out = []
+    for i in range(count):
+        seg, k = divmod(i, per_seg)
+        off = seg * cap_local + int(lens[seg * per_seg : seg * per_seg + k].sum())
+        out.append(flat[off : off + lens[i]].tobytes())
+    return out
+
+
+def _fits(lens: np.ndarray, cap: int, mesh) -> bool:
+    n = _mesh_size(mesh)
+    per_seg = len(lens) // n
+    seg_sums = lens.reshape(n, per_seg).sum(axis=1)
+    return int(seg_sums.max()) <= cap // n
 
 
 def _encode_arithmetic_batch(blocks: list[bytes], mesh) -> list[bytes]:
     B = _pad_block_count(len(blocks), mesh)
     steps = _bucket(max(len(b) for b in blocks) + 1)
-    symbols = np.full((B, steps), arithmetic_scan.EOF, dtype=np.int32)
+    payload = np.zeros((B, steps), dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
     for i, b in enumerate(blocks):
-        symbols[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        payload[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
         lengths[i] = len(b)
-    symbols = _shard_blocks(symbols, mesh)
-    lengths_d = _shard_blocks(lengths, mesh)
-    enc = _spmd(
-        functools.partial(arithmetic_scan.encode_blocks, num_steps=steps), mesh, 2, 2
-    )
-    padded_bits, bit_lengths = enc(symbols, lengths_d)
-    padded_bits = np.asarray(padded_bits)
-    bit_lengths = np.asarray(bit_lengths)
-    packed = np.packbits(padded_bits, axis=1)
-    return [
-        packed[i, : int(bit_lengths[i]) // 8].tobytes() for i in range(len(blocks))
-    ]
+    total_in = int(lengths.sum())
+    n = _mesh_size(mesh)
+    bound = arithmetic_scan.BITS_PER_STEP_BOUND * steps * (B // n) // 8 + B * 4
+    for cap in (_cap_bytes(total_in, B) // n * n, bound * n):
+        enc = _spmd(
+            functools.partial(
+                arithmetic_scan.encode_blocks_packed, num_steps=steps, cap_bytes=cap // n
+            ),
+            mesh, 2, 2,
+        )
+        flat, byte_lens = enc(_shard_blocks(payload, mesh), _shard_blocks(lengths, mesh))
+        byte_lens = np.asarray(byte_lens)
+        if _fits(byte_lens, cap, mesh):
+            break
+    flat = np.asarray(flat)  # ~compressed bytes only
+    return _split_flat(flat, byte_lens, len(blocks), mesh)
 
 
-def _lzss_tokens_batch(blocks: list[bytes], mesh):
-    """Escape + device match/commit for a batch; returns (out, out_len) arrays."""
+def _cap_bytes(total_in: int, nblocks: int) -> int:
+    """Practical compressed-size capacity: 1.3x input plus per-block slack."""
+    return ((int(total_in * 1.3) + 8 * nblocks + 4096) + 127) // 128 * 128
+
+
+def _escaped_blocks(blocks: list[bytes], mesh):
     encs = [encode_opening_symbols(b) for b in blocks]
     B = _pad_block_count(len(blocks), mesh)
-    S = _bucket(max((len(e) for e in encs), default=1), base=lzss_jax.TILE * 128)
+    S = _bucket(max((len(e) for e in encs), default=1), base=1024)
     x = np.full((B, S), -1, dtype=np.int32)
     lengths = np.zeros(B, dtype=np.int32)
     for i, e in enumerate(encs):
         x[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
         lengths[i] = len(e)
-    x = _shard_blocks(x, mesh)
-    lengths_d = _shard_blocks(lengths, mesh)
-    match = _spmd(
-        functools.partial(
-            lzss_jax.find_matches_blocks, window=4096, num_steps=S // lzss_jax.TILE
-        ),
-        mesh, 2, 2,
-    )
-    L, D = match(x, lengths_d)
-    commit = _spmd(lzss_jax.commit_blocks, mesh, 4, 2)
-    out, out_len = commit(x, L, D, lengths_d)
-    return np.asarray(out), np.asarray(out_len)
+    return x, lengths, S
+
+
+def _encode_lzss_pipeline(blocks: list[bytes], mesh, with_arith: bool):
+    from raisin_tpu.ops import pipeline_jax
+
+    x, lengths, S = _escaped_blocks(blocks, mesh)
+    B = x.shape[0]
+    n = _mesh_size(mesh)
+    if with_arith:
+        bound = arithmetic_scan.BITS_PER_STEP_BOUND * (S + 8) * (B // n) // 8 + B * 4
+        caps = (_cap_bytes(int(lengths.sum()), B) // n * n, bound * n)
+    else:
+        caps = ((S * (B // n) + 16) * n,)  # tokens never exceed the input
+    for cap in caps:
+        fn = _spmd(
+            functools.partial(
+                pipeline_jax.lzss_encode_packed,
+                window=4096,
+                cap_bytes=cap // n,
+                use_pallas=_use_pallas(),
+                with_arith=with_arith,
+            ),
+            mesh, 2, 3,
+        )
+        flat, out_lens, tok_lens = fn(_shard_blocks(x, mesh), _shard_blocks(lengths, mesh))
+        out_lens = np.asarray(out_lens)
+        if _fits(out_lens, cap, mesh):
+            break
+    flat = np.asarray(flat)
+    tok_lens = np.asarray(tok_lens)
+    return _split_flat(flat, out_lens, len(blocks), mesh), [int(t) for t in tok_lens[: len(blocks)]]
 
 
 def _encode_lzss_batch(blocks: list[bytes], mesh) -> list[bytes]:
-    out, out_len = _lzss_tokens_batch(blocks, mesh)
-    return [out[i, : int(out_len[i])].tobytes() for i in range(len(blocks))]
+    payloads, _ = _encode_lzss_pipeline(blocks, mesh, with_arith=False)
+    return payloads
 
 
 def _encode_lzss_arithmetic_batch(blocks: list[bytes], mesh):
-    out, out_len = _lzss_tokens_batch(blocks, mesh)
-    inter = [out[i, : int(out_len[i])].tobytes() for i in range(len(blocks))]
-    return _encode_arithmetic_batch(inter, mesh), [len(t) for t in inter]
+    return _encode_lzss_pipeline(blocks, mesh, with_arith=True)
 
 
 def _decode_arithmetic_batch(payloads: list[bytes], out_lens: list[int], mesh) -> list[bytes]:
     B = _pad_block_count(len(payloads), mesh)
-    tails = [
-        np.concatenate([unpack_prepad_sentinel(p), np.array([1, 0], dtype=np.uint8)])
-        for p in payloads
-    ]
-    nbits = _bucket(max(len(t) for t in tails))
-    bits = np.zeros((B, nbits), dtype=np.uint8)
-    lengths = np.zeros(B, dtype=np.int32)
-    for i, t in enumerate(tails):
-        bits[i, : len(t)] = t
-        lengths[i] = out_lens[i]
+    lens = np.zeros(B, dtype=np.int32)
+    outl = np.zeros(B, dtype=np.int32)
+    for i, p in enumerate(payloads):
+        lens[i] = len(p)
+        outl[i] = out_lens[i]
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int32)
+    flat = np.concatenate([np.frombuffer(p, dtype=np.uint8) for p in payloads] + [np.zeros(16, np.uint8)])
     steps = _bucket(max(out_lens) + 1)
-    bits = _shard_blocks(bits, mesh)
-    lengths_d = _shard_blocks(lengths, mesh)
-    dec = _spmd(
-        functools.partial(arithmetic_scan.decode_blocks, num_steps=steps), mesh, 2, 2
+    max_bytes = _bucket(int(lens.max()), base=128)
+    dec = functools.partial(
+        arithmetic_scan.decode_blocks_packed, num_steps=steps, max_bytes=max_bytes
     )
-    syms, eof_ok = dec(bits, lengths_d)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        dec = jax.shard_map(
+            dec,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )
+    syms, eof_ok = dec(flat, offs, lens, outl)
     syms = np.asarray(syms)
     eof_ok = np.asarray(eof_ok)
     out = []
     for i in range(len(payloads)):
         if not bool(eof_ok[i]):
             raise ValueError(f"container: block {i} missing EOF symbol")
-        out.append(syms[i, : out_lens[i]].astype(np.uint8).tobytes())
+        out.append(syms[i, : out_lens[i]].tobytes())
     return out
 
 
@@ -247,11 +314,12 @@ def decompress_container(data: bytes, mesh=None) -> bytes:
         blocks = _decode_arithmetic_batch(payloads, out_lens, mesh)
     elif algorithms == ("lzss", "arithmetic") and aux:
         # arithmetic layer on device with the recorded token-stream lengths;
-        # LZSS token decode on host (device LZSS decode: future work)
-        from raisin_tpu.formats import lzss_ref
+        # LZSS token decode on host (C native when available)
+        from raisin_tpu.engine.registry import get_codec
 
+        lz = get_codec("lzss", backend="native")  # falls back to host oracle
         inter = _decode_arithmetic_batch(payloads, aux[0], mesh)
-        blocks = [lzss_ref.decompress(t) for t in inter]
+        blocks = [lz.decompress(t) for t in inter]
     else:
         from raisin_tpu.engine.core import decompress_bytes
 
