@@ -23,6 +23,8 @@ Flags:
                            block-parallel scale path; decompress
                            auto-detects the RSNB magic)
     -blocksize=N           container block size in bytes (default 65536)
+    -profile[=DIR]         wrap the run in a jax.profiler trace
+                           (default DIR /tmp/raisin_tpu_trace)
 """
 
 from __future__ import annotations
@@ -129,6 +131,24 @@ def main(argv: list[str] | None = None) -> int:
 
     if flags.get("backend"):
         registry.set_preferred_backend(flags["backend"])
+
+    if "profile" in flags:
+        import contextlib
+
+        from raisin_tpu.utils.profiling import trace
+
+        trace_dir = flags["profile"] if flags["profile"] != "true" else "/tmp/raisin_tpu_trace"
+        profile_cm = trace(trace_dir)
+    else:
+        import contextlib
+
+        profile_cm = contextlib.nullcontext()
+
+    with profile_cm:
+        return _run_command(command, flags, positional, application)
+
+
+def _run_command(command: str, flags: dict, positional: list[str], application: str) -> int:
 
     file_arg = positional[0] if positional else ""
     if not file_arg:
