@@ -1,0 +1,630 @@
+"""Pallas TPU kernel for the adaptive arithmetic encoder state machine.
+
+The XLA ``lax.scan`` encoder (ops/arithmetic_scan.py) dispatches one fused
+loop iteration per symbol with vmapped per-block gathers (``cum[sym]``) that
+lower to slow TPU gather ops. This kernel removes every gather and keeps the
+entire coder state resident in VMEM across the whole input:
+
+- 1024 independent blocks per call, laid out as (8 sublanes x 128 lanes), so
+  every per-block scalar (low/high/pending/count/frozen) is exactly one
+  (8, 128) int32 vreg and each renormalization op costs one VPU instruction
+  for all 1024 blocks;
+- the 258-entry adaptive cumulative model lives as a (264, 8, 128) int32
+  VMEM array; the per-symbol lookup ``(cum[sym], cum[sym+1])`` is ONE packed
+  masked sum-reduction over the symbol axis (both 15-bit values packed into
+  one int32 lane), and the model update (arithmetic.go:184's O(257) loop) is
+  one masked vector add;
+- ``cum[257]`` (the total count) is tracked as a separate scalar vreg so the
+  hot loop never reads a single model row;
+- the grid walks CHUNK-symbol slices of the input; Pallas double-buffers the
+  symbol input and event output DMAs while scratch state persists across
+  grid steps.
+
+Output is the exact per-step event-slot record documented in
+ops/arithmetic_scan.py (16 uint8-valued slots + a first-flush pending count
+per step), so the downstream bit expansion / packing / concat path is shared
+with — and tested against — the XLA encoder. Wire-format semantics follow
+reference compressor/arithmetic/arithmetic.go:115-163 exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raisin_tpu.ops import jax_setup  # noqa: F401
+
+MAX_CODE = 0xFFFF
+ONE_FOURTH = 0x4000
+ONE_HALF = 0x8000
+THREE_FOURTHS = 0xC000
+MAX_FREQ = 16383
+EOF = 256
+RENORM_ITERS = 16
+
+ROWS = 8  # preferred sublane rows of block-scalars (full int32 vregs)
+LANES = 128
+BLOCKS = ROWS * LANES  # preferred blocks per call
+NSYM = 264  # 258 cumulative entries padded to a sublane multiple
+CHUNK = 128  # symbols per grid step
+WORDS = RENORM_ITERS // 4  # 4 slot bytes packed per int32 output word
+
+
+def _enc_kernel(sym_ref, len_ref, words_ref, slot0_ref, low, high, pend, cnt, frozen, cum):
+    """One grid step: encode CHUNK symbols of all blocks in lockstep."""
+
+    rows = len_ref.shape[0]
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        low[:] = jnp.zeros((rows, LANES), jnp.int32)
+        high[:] = jnp.full((rows, LANES), MAX_CODE, jnp.int32)
+        pend[:] = jnp.zeros((rows, LANES), jnp.int32)
+        cnt[:] = jnp.full((rows, LANES), 257, jnp.int32)
+        frozen[:] = jnp.zeros((rows, LANES), jnp.int32)
+        cum[:] = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
+
+    n = len_ref[:]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
+
+    def body(s, _):
+        g = pid * CHUNK + s
+        sym = sym_ref[s]
+        active = g <= n  # payload symbols plus the EOF at position n
+
+        lowv, highv, pendv = low[:], high[:], pend[:]
+        cntv, frz = cnt[:], frozen[:]
+        cumv = cum[:]
+
+        symb = sym[None, :, :]
+        # packed (lower, upper) lookup: both fit 15 bits (count <= 16640)
+        sel = jnp.where(iota == symb, cumv, 0) + jnp.where(
+            iota == symb + 1, cumv << 15, 0
+        )
+        red = jnp.sum(sel, axis=0)
+        lower = red & 0x7FFF
+        upper = red >> 15
+        count = cntv
+
+        # model update AFTER the read; freeze fires after the triggering
+        # update (arithmetic.go:184-192)
+        upd = active & (frz == 0)
+        cum[:] = jnp.where((iota > symb) & upd[None], cumv + 1, cumv)
+        newcnt = jnp.where(upd, cntv + 1, cntv)
+        cnt[:] = newcnt
+        frozen[:] = jnp.where(newcnt >= MAX_FREQ, 1, frz)
+
+        diff = highv - lowv + 1
+        nh = jnp.where(active, lowv + (diff * upper) // count - 1, highv)
+        nl = jnp.where(active, lowv + (diff * lower) // count, lowv)
+
+        done = ~active
+        has_emitted = jnp.zeros((rows, LANES), jnp.bool_)
+        slot0v = jnp.zeros((rows, LANES), jnp.int32)
+        words = [jnp.zeros((rows, LANES), jnp.int32) for _ in range(WORDS)]
+        for it in range(RENORM_ITERS):
+            e1 = nh < ONE_HALF
+            e2 = nl >= ONE_HALF
+            e3 = (nl >= ONE_FOURTH) & (nh < THREE_FOURTHS)
+            cont = (e1 | e2 | e3) & ~done
+            emit = (e1 | e2) & cont
+            straddle = cont & ~emit
+            bit = jnp.where(e2, 1, 0)
+
+            is_first = emit & ~has_emitted
+            slot0v = jnp.where(is_first, pendv, slot0v)
+            in_pend = jnp.where(is_first, 0, pendv)  # <= 15 when not first
+            slot_val = jnp.where(
+                emit,
+                0x80 | (bit << 6) | jnp.where(is_first, 0x20, 0) | in_pend,
+                0,
+            )
+            words[it // 4] = words[it // 4] | (slot_val << (8 * (it % 4)))
+            has_emitted = has_emitted | emit
+
+            pendv = jnp.where(emit, 0, jnp.where(straddle, pendv + 1, pendv))
+            sub = jnp.where(straddle, ONE_FOURTH, jnp.where(e2, ONE_HALF, 0))
+            nl = jnp.where(cont, (nl - sub) << 1, nl)
+            nh = jnp.where(cont, ((nh - sub) << 1) + 1, nh)
+            done = done | ~cont
+
+        for w in range(WORDS):
+            words_ref[s, w] = words[w]
+        slot0_ref[s] = slot0v
+        low[:] = nl
+        high[:] = nh
+        pend[:] = pendv
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_events(symbols: jax.Array, lengths: jax.Array, interpret: bool = False):
+    """Encode rows*128 independent blocks; returns per-step event records.
+
+    Args:
+      symbols: (S, rows, LANES) int32 — block symbols with EOF (256) at
+        position ``lengths`` (values past it are ignored). S % CHUNK == 0.
+      lengths: (rows, LANES) int32 payload length per block.
+
+    Returns:
+      words: (S, WORDS, rows, LANES) int32 — 4 event-slot bytes per word,
+        little-endian (slot layout as ops/arithmetic_scan docstring).
+      slot0: (S, rows, LANES) int32 — carried pending flushed at each
+        step's first emission.
+    """
+    S, rows, lanes = symbols.shape
+    if lanes != LANES:
+        raise ValueError(f"lane dim must be {LANES}")
+    if S % CHUNK != 0:
+        raise ValueError(f"S must be a multiple of {CHUNK}")
+    grid = (S // CHUNK,)
+    words, slot0 = pl.pallas_call(
+        _enc_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((CHUNK, rows, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((rows, LANES), lambda g: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, WORDS, rows, LANES), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((CHUNK, rows, LANES), lambda g: (g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, WORDS, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((S, rows, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((NSYM, rows, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(symbols, lengths)
+    return words, slot0
+
+
+# ---------------------------------------------------------------------------
+# Fused encode + bit packing
+#
+# The gather-free serialization path: instead of emitting per-renorm event
+# records for a later expansion pass (per-bit searchsorted gathers cost
+# ~27 ns/element on TPU — unusable), every step APPENDS its output bits into
+# a per-block 32-bit accumulator right inside the encoder:
+#
+#   step bits = [b0] [carried-pending run: ~b0 x carried] [rest <= 31 bits]
+#
+# where `rest` packs the 2nd..16th emissions with their in-step pending
+# flushes (<= 15 emits + <= 15 pends). Both pieces are appended with ONE
+# bounded branchless append each (<= 32 bits), so a step completes at most
+# TWO 32-bit output words. Completed words go to dense (step, slot) planes —
+# uniform addressing, fully vectorized over 1024 blocks. A tiny sequential
+# pass (compact_rows) then squeezes the slots into contiguous per-block
+# words and applies the `.rsn` prepad (bits.go:48) as a constant per-block
+# bit shift. Carried pending > 31 at a flush cannot be appended in one piece
+# — those blocks set a sticky overflow flag (astronomically rare: it needs a
+# >31-straddle run) and the host re-encodes them on the oracle path.
+
+
+def _append32(acc, nb, v, w):
+    """Append w (<=32) bits of v into the (acc, nb) bit accumulator.
+
+    Returns (acc, nb, completed_word, completed_flag). Bits fill from the
+    top (bit 31) down; at most one word completes since nb<32 and w<=32.
+    """
+    space = 32 - nb
+    k1 = jnp.minimum(w, space)
+    rem = w - k1
+    top = _shr(v, rem)  # top k1 bits of the w-bit value
+    acc = acc | _shl(top & _mask(k1), space - k1)
+    nbt = nb + k1
+    complete = (nbt >= 32) & (w > 0)
+    word = acc
+    acc = jnp.where(complete, _shl(v & _mask(rem), 32 - rem), acc)
+    nb = jnp.where(complete, rem, nbt)
+    return acc, nb, word, complete
+
+
+def _mask(k):
+    # (1 << k) - 1 for k in [0, 32]; 0 for k < 0
+    s = jnp.clip(k, 0, 31)
+    full = jnp.where(k >= 32, jnp.int32(-1), (jnp.int32(1) << s) - 1)
+    return jnp.where(k < 0, 0, full)
+
+
+def _shl(v, k):
+    # v << k with k in [0, 32]; 0 for k >= 32 or k < 0
+    r = v << jnp.clip(k, 0, 31)
+    return jnp.where((k >= 32) | (k < 0), 0, r)
+
+
+def _shr(v, k):
+    # logical shift right for int32 lanes, k in [0, 32]
+    u = v.astype(jnp.uint32) >> jnp.clip(k, 0, 31).astype(jnp.uint32)
+    u = jnp.where(k >= 32, jnp.uint32(0), u)
+    return u.astype(jnp.int32)
+
+
+def _pack_kernel(
+    sym_ref, len_ref, slots_ref, cnt_ref, fin_ref,
+    low, high, pend, cnt, frozen, acc, nb, flag, cum,
+):
+    """Fused encoder: per-step completed 32-bit words instead of events.
+
+    Outputs per grid step: slots (CHUNK, 2, rows, 128) completed words in
+    emission order; cnt (CHUNK, rows, 128) words completed (0..2).
+    fin (4, rows, 128): final acc, final nb, overflow flag, total words.
+    """
+    rows = len_ref.shape[0]
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        low[:] = jnp.zeros((rows, LANES), jnp.int32)
+        high[:] = jnp.full((rows, LANES), MAX_CODE, jnp.int32)
+        pend[:] = jnp.zeros((rows, LANES), jnp.int32)
+        cnt[:] = jnp.full((rows, LANES), 257, jnp.int32)
+        frozen[:] = jnp.zeros((rows, LANES), jnp.int32)
+        acc[:] = jnp.zeros((rows, LANES), jnp.int32)
+        nb[:] = jnp.zeros((rows, LANES), jnp.int32)
+        flag[:] = jnp.zeros((rows, LANES), jnp.int32)
+        cum[:] = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
+
+    n = len_ref[:]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
+
+    def body(s, nwords):
+        g = pid * CHUNK + s
+        sym = sym_ref[s]
+        active = g <= n
+
+        lowv, highv, pendv = low[:], high[:], pend[:]
+        cntv, frz = cnt[:], frozen[:]
+        cumv = cum[:]
+
+        symb = sym[None, :, :]
+        sel = jnp.where(iota == symb, cumv, 0) + jnp.where(
+            iota == symb + 1, cumv << 15, 0
+        )
+        red = jnp.sum(sel, axis=0)
+        lower = red & 0x7FFF
+        upper = red >> 15
+        count = cntv
+
+        upd = active & (frz == 0)
+        cum[:] = jnp.where((iota > symb) & upd[None], cumv + 1, cumv)
+        newcnt = jnp.where(upd, cntv + 1, cntv)
+        cnt[:] = newcnt
+        frozen[:] = jnp.where(newcnt >= MAX_FREQ, 1, frz)
+
+        diff = highv - lowv + 1
+        nh = jnp.where(active, lowv + (diff * upper) // count - 1, highv)
+        nl = jnp.where(active, lowv + (diff * lower) // count, lowv)
+
+        done = ~active
+        has_emitted = jnp.zeros((rows, LANES), jnp.bool_)
+        b0 = jnp.zeros((rows, LANES), jnp.int32)
+        carried = jnp.zeros((rows, LANES), jnp.int32)
+        rest_pat = jnp.zeros((rows, LANES), jnp.int32)
+        rest_len = jnp.zeros((rows, LANES), jnp.int32)
+        for _ in range(RENORM_ITERS):
+            e1 = nh < ONE_HALF
+            e2 = nl >= ONE_HALF
+            e3 = (nl >= ONE_FOURTH) & (nh < THREE_FOURTHS)
+            cont = (e1 | e2 | e3) & ~done
+            emit = (e1 | e2) & cont
+            straddle = cont & ~emit
+            bit = jnp.where(e2, 1, 0)
+
+            is_first = emit & ~has_emitted
+            b0 = jnp.where(is_first, bit, b0)
+            carried = jnp.where(is_first, pendv, carried)
+            # 2nd+ emissions: bit + in-step pending run, packed MSB-first
+            later = emit & has_emitted
+            width = 1 + pendv  # in-step pending <= 15 here
+            piece = jnp.where(bit == 1, _shl(jnp.int32(1), pendv), _mask(pendv))
+            rest_pat = jnp.where(later, _shl(rest_pat, width) | piece, rest_pat)
+            rest_len = jnp.where(later, rest_len + width, rest_len)
+            has_emitted = has_emitted | emit
+
+            pendv = jnp.where(emit, 0, jnp.where(straddle, pendv + 1, pendv))
+            sub = jnp.where(straddle, ONE_FOURTH, jnp.where(e2, ONE_HALF, 0))
+            nl = jnp.where(cont, (nl - sub) << 1, nl)
+            nh = jnp.where(cont, ((nh - sub) << 1) + 1, nh)
+            done = done | ~cont
+
+        # piece 1: first emitted bit + carried-pending run (~b0 x carried)
+        w1 = jnp.where(has_emitted, 1 + carried, 0)
+        flag[:] = jnp.where(w1 > 32, 1, flag[:])
+        w1 = jnp.minimum(w1, 32)
+        v1 = jnp.where(b0 == 1, _shl(jnp.int32(1), w1 - 1), _mask(w1 - 1))
+
+        accv, nbv = acc[:], nb[:]
+        accv, nbv, word_a, ca = _append32(accv, nbv, v1, w1)
+        accv, nbv, word_b, cb = _append32(accv, nbv, rest_pat, rest_len)
+        acc[:] = accv
+        nb[:] = nbv
+        low[:] = nl
+        high[:] = nh
+        pend[:] = pendv
+
+        slots_ref[s, 0] = jnp.where(ca, word_a, word_b)
+        slots_ref[s, 1] = word_b
+        nc = ca.astype(jnp.int32) + cb.astype(jnp.int32)
+        cnt_ref[s] = nc
+        return nwords + nc
+
+    nwords = jax.lax.fori_loop(
+        0, CHUNK, body, jnp.zeros((rows, LANES), jnp.int32)
+    )
+
+    @pl.when(pid == 0)
+    def _zero_fin():
+        fin_ref[3] = jnp.zeros((rows, LANES), jnp.int32)
+
+    fin_ref[0] = acc[:]
+    fin_ref[1] = nb[:]
+    fin_ref[2] = flag[:]
+    fin_ref[3] = fin_ref[3] + nwords
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_packed_words(symbols: jax.Array, lengths: jax.Array, interpret: bool = False):
+    """Fused encode+pack: per-step completed-word slots, gather-free.
+
+    Args:
+      symbols: (S, rows, 128) int32, EOF at position ``lengths``.
+      lengths: (rows, 128) int32.
+
+    Returns:
+      slots: (S, 2, rows, 128) int32 — completed 32-bit words per step
+        (bit 31 first), in emission order.
+      cnts:  (S, rows, 128) int32 — completed words per step (0..2).
+      fin:   (4, rows, 128) int32 — [final acc, final nb, overflow flag,
+        total completed words].
+    """
+    S, rows, lanes = symbols.shape
+    if lanes != LANES:
+        raise ValueError(f"lane dim must be {LANES}")
+    if S % CHUNK != 0:
+        raise ValueError(f"S must be a multiple of {CHUNK}")
+    grid = (S // CHUNK,)
+    return pl.pallas_call(
+        _pack_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((CHUNK, rows, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((rows, LANES), lambda g: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, 2, rows, LANES), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((CHUNK, rows, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((4, rows, LANES), lambda g: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, 2, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((S, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((4, rows, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((NSYM, rows, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(symbols, lengths)
+
+
+CB = 512  # pass-B steps per grid iteration
+
+
+def _compact_kernel(pad_ref, facc_ref, fnb_ref, slots_ref, cnts_ref, out_ref, tile, st):
+    """Squeeze per-step word slots into contiguous per-block output words.
+
+    Sequential walk per block (grid = (B, S/CB)); applies the per-block
+    prepad shift and a byte swap so the host can view the row directly as
+    the big-endian `.rsn` byte stream. st (SMEM scratch): [widx, prev].
+    """
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+    p = pad_ref[b]  # prepad width, 1..8
+    CBL = cnts_ref.shape[2]
+
+    @pl.when(c == 0)
+    def _init():
+        st[0] = 0  # widx
+        st[1] = 1  # prev: sentinel pattern 0..01 in its low p bits
+        tile[:] = jnp.zeros((8, LANES), jnp.int32)
+
+    Js = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    )
+    capw = out_ref.shape[1] * LANES
+
+    def emit(cur):
+        # one output word: p carried bits then the top 32-p bits of cur
+        widx = st[0]
+        prev = st[1]
+        w = (prev << (32 - p)) | jnp.where(
+            p >= 32, 0, (cur.astype(jnp.uint32) >> p.astype(jnp.uint32)).astype(jnp.int32)
+        )
+        # byte swap so little-endian host int32 reads as the byte stream
+        u = w.astype(jnp.uint32)
+        w = (
+            (u >> 24) | ((u >> 8) & 0xFF00) | ((u & 0xFF00) << 8) | (u << 24)
+        ).astype(jnp.int32)
+        tile[:] = jnp.where(Js == (widx % 1024), w, tile[:])
+        st[1] = cur
+        st[0] = widx + 1
+
+        @pl.when((widx + 1) % 1024 == 0)
+        def _flush():
+            row = jnp.minimum((widx + 1) // 1024 - 1, capw // 1024 - 1) * 8
+            out_ref[0, pl.ds(row, 8), :] = tile[:]
+            tile[:] = jnp.zeros((8, LANES), jnp.int32)
+
+    def body(s, _):
+        n = cnts_ref[0, 0, s]
+
+        @pl.when(n > 0)
+        def _w0():
+            emit(slots_ref[0, 0, 2 * s])
+
+        @pl.when(n > 1)
+        def _w1():
+            emit(slots_ref[0, 0, 2 * s + 1])
+
+        return 0
+
+    jax.lax.fori_loop(0, CBL, body, 0)
+
+    @pl.when(c == nc - 1)
+    def _tail():
+        # remaining bits: p carried + fnb in the top of facc -> <= 2 words
+        fnb = fnb_ref[b]
+        emit(facc_ref[b])
+
+        @pl.when(p + fnb > 32)
+        def _second():
+            emit(jnp.int32(0))
+
+        widx = st[0]
+        row = jnp.minimum(widx // 1024, capw // 1024 - 1) * 8
+        out_ref[0, pl.ds(row, 8), :] = tile[:]
+
+
+@functools.partial(jax.jit, static_argnames=("capw", "interpret"))
+def compact_rows(
+    slots_b: jax.Array,
+    cnts_b: jax.Array,
+    pad: jax.Array,
+    facc: jax.Array,
+    fnb: jax.Array,
+    capw: int,
+    interpret: bool = False,
+):
+    """(B, S, 2) slots + (B, S) counts -> (B, capw) contiguous output words."""
+    B, S, _ = slots_b.shape
+    if S % CB != 0:
+        raise ValueError(f"S must be a multiple of {CB}")
+    if capw % 1024 != 0:
+        raise ValueError("capw must be a multiple of 1024")
+    C = S // CB
+    # TPU block shapes must match the trailing array dims exactly; chunk by
+    # folding (block, chunk) into the leading dim instead.
+    slots_flat = slots_b.reshape(B * C, 1, CB * 2)
+    cnts_flat = cnts_b.reshape(B * C, 1, CB)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, C),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, CB * 2),
+                lambda b, c, *_: (b * C + c, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, CB),
+                lambda b, c, *_: (b * C + c, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, capw // LANES, LANES), lambda b, c, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        _compact_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, capw // LANES, LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pad.astype(jnp.int32), facc.astype(jnp.int32), fnb.astype(jnp.int32), slots_flat, cnts_flat)
+    return out.reshape(B, capw)
+
+
+@functools.partial(jax.jit, static_argnames=("capw", "interpret"))
+def encode_rows(
+    symbols: jax.Array, lengths: jax.Array, capw: int, interpret: bool = False
+):
+    """Fully-fused device arithmetic encode: blocks in, `.rsn` byte rows out.
+
+    Args:
+      symbols: (B, S) int32, EOF (256) at position ``lengths[b]``; B % 128
+        == 0, S % max(CHUNK, CB) == 0.
+      lengths: (B,) int32.
+      capw: static per-block output capacity in 32-bit words (multiple of
+        1024). Caller retries with a larger bucket when byte_lens exceeds
+        capw * 4 (output rows are clamped, never out of bounds).
+
+    Returns:
+      rows: (B, capw) int32 — per-block `.rsn` stream; view the row's
+        little-endian bytes directly as the stream bytes.
+      byte_lens: (B,) int32.
+      oflow: (B,) int32 — sticky flag for blocks whose carried-pending run
+        exceeded one 32-bit append (re-encode those on the host oracle).
+    """
+    B, S = symbols.shape
+    rows = B // LANES
+    sy = symbols.reshape(rows, LANES, S).transpose(2, 0, 1)
+    ln = lengths.reshape(rows, LANES)
+    slots, cnts, fin = encode_packed_words(sy, ln, interpret=interpret)
+    slots_b = slots.transpose(2, 3, 0, 1).reshape(B, S, 2)
+    cnts_b = cnts.transpose(1, 2, 0).reshape(B, S)
+    fin_b = fin.reshape(4, B)
+    total_bits = fin_b[3] * 32 + fin_b[1]
+    pad = 8 - total_bits % 8  # 1..8 (bits.go:48)
+    out = compact_rows(
+        slots_b, cnts_b, pad, fin_b[0], fin_b[1], capw, interpret=interpret
+    )
+    byte_lens = (pad + total_bits) // 8
+    return out, byte_lens, fin_b[2]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_blocks_events(symbols: jax.Array, lengths: jax.Array, interpret: bool = False):
+    """(B, S) int32 symbols + (B,) lengths -> slots (B, S, 16) + slot0 (B, S).
+
+    Drop-in producer of the XLA encoder's event record (the downstream bit
+    expansion is shared). B must be a multiple of 128 (pad with empty
+    blocks); multiples of 1024 give full vector-register utilization.
+    """
+    B, S = symbols.shape
+    if B % LANES != 0:
+        raise ValueError(f"B must be a multiple of {LANES}; pad with empty blocks")
+    rows = B // LANES
+    sy = symbols.reshape(rows, LANES, S).transpose(2, 0, 1)
+    ln = lengths.reshape(rows, LANES)
+    words, slot0 = encode_events(sy, ln, interpret=interpret)
+    words_b = words.transpose(2, 3, 0, 1).reshape(B, S, WORDS)
+    shifts = jnp.arange(RENORM_ITERS, dtype=jnp.int32) % 4 * 8
+    slots_b = (words_b[:, :, jnp.arange(RENORM_ITERS) // 4] >> shifts) & 0xFF
+    slot0_b = slot0.transpose(1, 2, 0).reshape(B, S)
+    return slots_b.astype(jnp.uint8), slot0_b

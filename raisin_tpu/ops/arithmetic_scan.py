@@ -111,22 +111,8 @@ def _encode_step(carry, inp):
     return (low, high, pending, cum, frozen), (jnp.stack(slots), slot0_pending)
 
 
-@functools.partial(jax.jit, static_argnames=("num_steps",))
-def encode_blocks(symbols: jax.Array, lengths: jax.Array, num_steps: int):
-    """Device encode of B independent blocks.
-
-    Args:
-      symbols: (B, num_steps) int32 — block bytes with EOF (256) at position
-        ``lengths[b]``; entries past that are ignored.
-      lengths: (B,) int32 payload length per block.
-      num_steps: static scan length (>= max(lengths) + 1).
-
-    Returns:
-      padded_bits: (B, max_bits) uint8 — the `.rsn` bitstream per block,
-        sentinel prepad applied, zero-filled past ``bit_lengths``.
-      bit_lengths: (B,) int32 — multiple of 8; compressed bytes = bits/8.
-    """
-    max_bits = BITS_PER_STEP_BOUND * num_steps + 16
+def _events_xla(symbols: jax.Array, lengths: jax.Array, num_steps: int):
+    """XLA-scan event producer: (slots (B, S, 16) uint8, slot0 (B, S) int32)."""
 
     def one_block(syms, n):
         steps = jnp.arange(num_steps, dtype=jnp.int32)
@@ -139,9 +125,52 @@ def encode_blocks(symbols: jax.Array, lengths: jax.Array, num_steps: int):
             jnp.bool_(False),
         )
         _, (slots, slot0) = jax.lax.scan(_encode_step, init, (syms, active))
-        return _expand_block_bits(slots, slot0, max_bits)
+        return slots, slot0
 
     return jax.vmap(one_block)(symbols, lengths)
+
+
+def _events(symbols, lengths, num_steps: int, use_pallas: bool):
+    if use_pallas:
+        from raisin_tpu.ops import arithmetic_pallas
+
+        return arithmetic_pallas.encode_blocks_events(symbols, lengths)
+    return _events_xla(symbols, lengths, num_steps)
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "max_bits", "use_pallas"))
+def encode_blocks(
+    symbols: jax.Array,
+    lengths: jax.Array,
+    num_steps: int,
+    max_bits: int | None = None,
+    use_pallas: bool = False,
+):
+    """Device encode of B independent blocks.
+
+    Args:
+      symbols: (B, num_steps) int32 — block bytes with EOF (256) at position
+        ``lengths[b]``; entries past that are ignored.
+      lengths: (B,) int32 payload length per block.
+      num_steps: static scan length (>= max(lengths) + 1).
+      max_bits: static per-block output-bit capacity. Defaults to the proven
+        worst-case bound; callers may pass a tight practical capacity and
+        retry when ``max(bit_lengths) > max_bits`` (bit_lengths stays correct
+        even when the expanded bits overflow the capacity).
+      use_pallas: route the state machine through the Pallas TPU kernel
+        (ops/arithmetic_pallas); requires B and num_steps to be multiples
+        of 128.
+
+    Returns:
+      padded_bits: (B, max_bits) uint8 — the `.rsn` bitstream per block,
+        sentinel prepad applied, zero-filled past ``bit_lengths``.
+      bit_lengths: (B,) int32 — multiple of 8; compressed bytes = bits/8.
+    """
+    if max_bits is None:
+        max_bits = BITS_PER_STEP_BOUND * num_steps + 16
+    max_bits = (max_bits + 7) // 8 * 8
+    slots, slot0 = _events(symbols, lengths, num_steps, use_pallas)
+    return jax.vmap(lambda s, s0: _expand_block_bits(s, s0, max_bits))(slots, slot0)
 
 
 def _expand_block_bits(slots, slot0, max_bits: int):
@@ -174,9 +203,16 @@ def _expand_block_bits(slots, slot0, max_bits: int):
     return out, total + pad
 
 
-@functools.partial(jax.jit, static_argnames=("num_steps", "cap_bytes"))
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "cap_bytes", "max_bits", "use_pallas")
+)
 def encode_blocks_packed(
-    payload: jax.Array, lengths: jax.Array, num_steps: int, cap_bytes: int
+    payload: jax.Array,
+    lengths: jax.Array,
+    num_steps: int,
+    cap_bytes: int,
+    max_bits: int | None = None,
+    use_pallas: bool = False,
 ):
     """Fully-device encode: blocks in, ONE compact byte buffer out.
 
@@ -195,7 +231,9 @@ def encode_blocks_packed(
     B = payload.shape[0]
     steps = jnp.arange(num_steps, dtype=jnp.int32)
     symbols = jnp.where(steps[None, :] < lengths[:, None], payload.astype(jnp.int32), EOF)
-    padded_bits, bit_lengths = encode_blocks(symbols, lengths, num_steps)
+    padded_bits, bit_lengths = encode_blocks(
+        symbols, lengths, num_steps, max_bits=max_bits, use_pallas=use_pallas
+    )
     byte_lens = bit_lengths // 8
 
     # pack bits -> bytes on device (MSB first)

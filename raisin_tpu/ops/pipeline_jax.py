@@ -37,7 +37,8 @@ def _matches(x, lengths, window: int, use_pallas: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "cap_bytes", "use_pallas", "with_arith")
+    jax.jit,
+    static_argnames=("window", "cap_bytes", "use_pallas", "with_arith", "max_bits"),
 )
 def lzss_encode_packed(
     x: jax.Array,
@@ -46,20 +47,72 @@ def lzss_encode_packed(
     cap_bytes: int,
     use_pallas: bool,
     with_arith: bool,
+    max_bits: int | None = None,
 ):
     """LZSS match+commit (optionally + arithmetic layer), compact bytes out.
 
-    x: (B, S) int32 pre-escaped block bytes (-1 padded); lengths: (B,).
+    x: (B, S) uint8 pre-escaped block bytes (values past ``lengths`` are
+    ignored — they are replaced with the -1 sentinel on device, so the host
+    ships 1 byte per input byte across the tunnel); lengths: (B,).
     Returns (flat (cap_bytes,) uint8, out_lens (B,), tok_lens (B,)).
     """
     B, S = x.shape
-    L, D = _matches(x, lengths, window, use_pallas)
-    tok, tok_len = lzss_jax.commit_blocks(x, L, D, lengths)
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    xi = jnp.where(pos < lengths[:, None], x.astype(jnp.int32), -1)
+    L, D = _matches(xi, lengths, window, use_pallas)
+    tok, tok_len = lzss_jax.commit_blocks(xi, L, D, lengths)
     if not with_arith:
         return concat_blocks(tok, tok_len, cap_bytes), tok_len, tok_len
-    steps = S + 8
-    payload = jnp.pad(tok, ((0, 0), (0, 8)))
+    # pad the token stream so the arithmetic scan length is CHUNK-aligned
+    # (required by the Pallas encoder; harmless for the XLA scan)
+    steps = (S + 8 + 127) // 128 * 128
+    payload = jnp.pad(tok, ((0, 0), (0, steps - S)))
     flat, byte_lens = arithmetic_scan.encode_blocks_packed(
-        payload, tok_len, steps, cap_bytes
+        payload, tok_len, steps, cap_bytes, max_bits=max_bits, use_pallas=use_pallas
     )
     return flat, byte_lens, tok_len
+
+
+@functools.partial(jax.jit, static_argnames=("window", "capw", "use_pallas_match"))
+def lzss_arith_encode_rows(
+    x: jax.Array,
+    lengths: jax.Array,
+    window: int,
+    capw: int,
+    use_pallas_match: bool,
+):
+    """Fully-fused TPU container encode: LZSS match+commit then the Pallas
+    arithmetic encoder with in-kernel bit packing; per-block `.rsn` rows out.
+
+    x: (B, S) uint8 pre-escaped block bytes; lengths: (B,). B % 128 == 0.
+    Returns (rows (B, capw) int32, byte_lens (B,), tok_lens (B,), oflow (B,)).
+    """
+    from raisin_tpu.ops import arithmetic_pallas, lzss_commit_pallas
+
+    B, S = x.shape
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    xi = jnp.where(pos < lengths[:, None], x.astype(jnp.int32), -1)
+    L, D = _matches(xi, lengths, window, use_pallas_match)
+    tok, tok_len = lzss_commit_pallas.commit_emit_blocks(xi, L, D, lengths)
+    steps = (S + 8 + 511) // 512 * 512
+    posn = jnp.arange(steps, dtype=jnp.int32)[None, :]
+    tokp = jnp.pad(tok, ((0, 0), (0, steps - S)))
+    symbols = jnp.where(posn < tok_len[:, None], tokp, arithmetic_scan.EOF)
+    rows, byte_lens, oflow = arithmetic_pallas.encode_rows(symbols, tok_len, capw)
+    return rows, byte_lens, tok_len, oflow
+
+
+@functools.partial(jax.jit, static_argnames=("capw",))
+def arith_encode_rows(payload: jax.Array, lengths: jax.Array, capw: int):
+    """Pure-arithmetic container encode to per-block rows (TPU Pallas path).
+
+    payload: (B, S) uint8; lengths: (B,). B % 128 == 0, S % 512 == 0.
+    """
+    from raisin_tpu.ops import arithmetic_pallas
+
+    B, S = payload.shape
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    symbols = jnp.where(
+        pos < lengths[:, None], payload.astype(jnp.int32), arithmetic_scan.EOF
+    )
+    return arithmetic_pallas.encode_rows(symbols, lengths, capw)

@@ -75,11 +75,13 @@ def _spmd(fn, mesh, n_in: int, n_out: int):
     return jax.shard_map(fn, mesh=mesh, in_specs=spec_in, out_specs=spec_out, check_vma=False)
 
 
-def _pad_block_count(b: int, mesh) -> int:
-    if mesh is None:
-        return b
-    n = mesh.devices.size
-    return ((b + n - 1) // n) * n
+def _pad_block_count(b: int, mesh, align: int = 1) -> int:
+    """Round the block count up so each mesh shard holds a multiple of
+    ``align`` blocks (the Pallas arithmetic encoder runs 128 blocks per
+    vector-register lane group)."""
+    n = 1 if mesh is None else mesh.devices.size
+    step = n * max(align, 1)
+    return ((b + step - 1) // step) * step
 
 
 # ---------------------------------------------------------------------------
@@ -123,7 +125,10 @@ def _fits(lens: np.ndarray, cap: int, mesh) -> bool:
 
 
 def _encode_arithmetic_batch(blocks: list[bytes], mesh) -> list[bytes]:
-    B = _pad_block_count(len(blocks), mesh)
+    if _use_pallas():
+        return _encode_arithmetic_rows(blocks, mesh)
+    use_pallas = False
+    B = _pad_block_count(len(blocks), mesh, align=1)
     steps = _bucket(max(len(b) for b in blocks) + 1)
     payload = np.zeros((B, steps), dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
@@ -132,17 +137,27 @@ def _encode_arithmetic_batch(blocks: list[bytes], mesh) -> list[bytes]:
         lengths[i] = len(b)
     total_in = int(lengths.sum())
     n = _mesh_size(mesh)
-    bound = arithmetic_scan.BITS_PER_STEP_BOUND * steps * (B // n) // 8 + B * 4
-    for cap in (_cap_bytes(total_in, B) // n * n, bound * n):
+    bound_bits = arithmetic_scan.BITS_PER_STEP_BOUND * steps + 16
+    bound = bound_bits * (B // n) // 8 + B * 4
+    # practical first try: per-block output <= 9 bits/symbol (ratio 1.125);
+    # retry at the proven bound if any block or the flat capacity overflows
+    for cap, mbits in (
+        (_cap_bytes(total_in, B) // n * n, 9 * steps + 32),
+        (bound * n, bound_bits),
+    ):
         enc = _spmd(
             functools.partial(
-                arithmetic_scan.encode_blocks_packed, num_steps=steps, cap_bytes=cap // n
+                arithmetic_scan.encode_blocks_packed,
+                num_steps=steps,
+                cap_bytes=cap // n,
+                max_bits=mbits,
+                use_pallas=use_pallas,
             ),
             mesh, 2, 2,
         )
         flat, byte_lens = enc(_shard_blocks(payload, mesh), _shard_blocks(lengths, mesh))
         byte_lens = np.asarray(byte_lens)
-        if _fits(byte_lens, cap, mesh):
+        if _fits(byte_lens, cap, mesh) and int(byte_lens.max()) * 8 <= (mbits + 7) // 8 * 8:
             break
     flat = np.asarray(flat)  # ~compressed bytes only
     return _split_flat(flat, byte_lens, len(blocks), mesh)
@@ -153,11 +168,11 @@ def _cap_bytes(total_in: int, nblocks: int) -> int:
     return ((int(total_in * 1.3) + 8 * nblocks + 4096) + 127) // 128 * 128
 
 
-def _escaped_blocks(blocks: list[bytes], mesh):
+def _escaped_blocks(blocks: list[bytes], mesh, align: int = 1):
     encs = [encode_opening_symbols(b) for b in blocks]
-    B = _pad_block_count(len(blocks), mesh)
+    B = _pad_block_count(len(blocks), mesh, align=align)
     S = _bucket(max((len(e) for e in encs), default=1), base=1024)
-    x = np.full((B, S), -1, dtype=np.int32)
+    x = np.zeros((B, S), dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
     for i, e in enumerate(encs):
         x[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
@@ -165,8 +180,95 @@ def _escaped_blocks(blocks: list[bytes], mesh):
     return x, lengths, S
 
 
+def _capw_bucket(bits: int) -> int:
+    """Per-block row capacity in 32-bit words, multiples of 1024."""
+    words = (bits + 31) // 32 + 2
+    return ((words + 1023) // 1024) * 1024
+
+
+def _rows_payloads(rows_dev, byte_lens: np.ndarray, count: int) -> list[bytes]:
+    """Fetch per-block `.rsn` payload bytes from device rows, transferring
+    only the prefix of columns that any block actually uses."""
+    need_w = int((int(byte_lens.max()) + 3) // 4 + 1)
+    need_w = min(((need_w + 127) // 128) * 128, rows_dev.shape[1])
+    rows_np = np.asarray(rows_dev[:, :need_w])
+    return [rows_np[i].tobytes()[: byte_lens[i]] for i in range(count)]
+
+
+def _encode_lzss_arith_rows(blocks: list[bytes], mesh):
+    """TPU fast path: fused match+commit+arithmetic with in-kernel packing."""
+    from raisin_tpu.ops import pipeline_jax
+
+    x, lengths, S = _escaped_blocks(blocks, mesh, align=128)
+    steps = (S + 8 + 511) // 512 * 512
+    for capw in (_capw_bucket(9 * steps + 64), _capw_bucket(18 * steps)):
+        fn = _spmd(
+            functools.partial(
+                pipeline_jax.lzss_arith_encode_rows,
+                window=4096,
+                capw=capw,
+                # XLA tiled-scan match is ~10x the v2 Pallas kernel at 4 KiB
+                # blocks on v5e (BENCH notes); revisit with match kernel v3
+                use_pallas_match=False,
+            ),
+            mesh, 2, 4,
+        )
+        rows, byte_lens, tok_lens, oflow = fn(
+            _shard_blocks(x, mesh), _shard_blocks(lengths, mesh)
+        )
+        byte_lens = np.asarray(byte_lens)
+        if int(byte_lens.max()) <= capw * 4:
+            break
+    payloads = _rows_payloads(rows, byte_lens, len(blocks))
+    tok_lens = np.asarray(tok_lens)
+    oflow = np.asarray(oflow)
+    if oflow[: len(blocks)].any():
+        # carried-pending overflow (needs a >31-bit straddle run): re-encode
+        # those blocks on the byte-exact host oracle
+        from raisin_tpu.engine.core import compress_bytes
+
+        for i in np.nonzero(oflow[: len(blocks)])[0]:
+            payloads[i] = compress_bytes(blocks[i], ["lzss", "arithmetic"])
+    return payloads, [int(t) for t in tok_lens[: len(blocks)]]
+
+
+def _encode_arithmetic_rows(blocks: list[bytes], mesh) -> list[bytes]:
+    """TPU fast path: pure-arithmetic container encode via Pallas rows."""
+    from raisin_tpu.ops import pipeline_jax
+
+    B = _pad_block_count(len(blocks), mesh, align=128)
+    steps = max(512, ( _bucket(max(len(b) for b in blocks) + 1) + 511) // 512 * 512)
+    payload = np.zeros((B, steps), dtype=np.uint8)
+    lengths = np.zeros(B, dtype=np.int32)
+    for i, b in enumerate(blocks):
+        payload[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lengths[i] = len(b)
+    for capw in (_capw_bucket(9 * steps + 64), _capw_bucket(18 * steps)):
+        fn = _spmd(
+            functools.partial(pipeline_jax.arith_encode_rows, capw=capw),
+            mesh, 2, 3,
+        )
+        rows, byte_lens, oflow = fn(
+            _shard_blocks(payload, mesh), _shard_blocks(lengths, mesh)
+        )
+        byte_lens = np.asarray(byte_lens)
+        if int(byte_lens.max()) <= capw * 4:
+            break
+    payloads = _rows_payloads(rows, byte_lens, len(blocks))
+    oflow = np.asarray(oflow)
+    if oflow[: len(blocks)].any():
+        from raisin_tpu.formats import arithmetic_ref
+
+        for i in np.nonzero(oflow[: len(blocks)])[0]:
+            payloads[i] = arithmetic_ref.compress(blocks[i])
+    return payloads
+
+
 def _encode_lzss_pipeline(blocks: list[bytes], mesh, with_arith: bool):
     from raisin_tpu.ops import pipeline_jax
+
+    if with_arith and _use_pallas():
+        return _encode_lzss_arith_rows(blocks, mesh)
 
     x, lengths, S = _escaped_blocks(blocks, mesh)
     B = x.shape[0]
