@@ -77,7 +77,7 @@ def device_stage_breakdown(data: bytes, block: int) -> dict:
     from raisin_tpu.formats.lzss_ref import encode_opening_symbols
     from raisin_tpu.ops import arithmetic_pallas, lzss_commit_pallas, lzss_jax
 
-    blocks = [data[i : i + block] for i in range(0, len(data), block)]
+    blocks = [data[i : i + block] for i in range(0, len(data), block)][:1024]
     t0 = time.perf_counter()
     encs = [encode_opening_symbols(b) for b in blocks]
     host_escape = time.perf_counter() - t0

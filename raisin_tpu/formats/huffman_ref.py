@@ -98,6 +98,98 @@ def rune_to_utf8(cp: int) -> bytes:
     return chr(cp).encode("utf-8")
 
 
+def go_decode_runes_np(data: bytes):
+    """Vectorized Go-rune decode for streams where every UTF-8 sequence is
+    valid (incl. pure ASCII). Returns an int32 array, or None when the input
+    has any invalid sequence (callers fall back to the exact byte loop —
+    Go's per-invalid-byte U+FFFD semantics need the sequential scan)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.int32)
+    if int(arr.max()) < 0x80:
+        return arr.astype(np.int32)
+    is_cont = (arr >= 0x80) & (arr < 0xC0)
+    sidx = np.nonzero(~is_cont)[0]
+    if sidx.size == 0 or sidx[0] != 0:
+        return None
+    pad = np.concatenate([arr, np.zeros(3, dtype=np.uint8)])
+    b0 = arr[sidx].astype(np.int32)
+    b1 = pad[sidx + 1].astype(np.int32)
+    b2 = pad[sidx + 2].astype(np.int32)
+    b3 = pad[sidx + 3].astype(np.int32)
+    width = np.where(b0 < 0x80, 1, np.where(b0 < 0xE0, 2, np.where(b0 < 0xF0, 3, 4)))
+    v1 = b0 < 0x80
+    v2 = (b0 >= 0xC2) & (b0 < 0xE0) & (b1 >= 0x80) & (b1 <= 0xBF)
+    lo3 = np.where(b0 == 0xE0, 0xA0, 0x80)
+    hi3 = np.where(b0 == 0xED, 0x9F, 0xBF)
+    v3 = (b0 >= 0xE0) & (b0 < 0xF0) & (b1 >= lo3) & (b1 <= hi3) & (b2 >= 0x80) & (b2 <= 0xBF)
+    lo4 = np.where(b0 == 0xF0, 0x90, 0x80)
+    hi4 = np.where(b0 == 0xF4, 0x8F, 0xBF)
+    v4 = (
+        (b0 >= 0xF0) & (b0 <= 0xF4)
+        & (b1 >= lo4) & (b1 <= hi4)
+        & (b2 >= 0x80) & (b2 <= 0xBF)
+        & (b3 >= 0x80) & (b3 <= 0xBF)
+    )
+    if not bool((v1 | v2 | v3 | v4).all()):
+        return None
+    # the greedy widths must exactly tile the buffer (every continuation
+    # byte belongs to exactly one sequence)
+    ends = sidx + width
+    if not np.array_equal(ends[:-1], sidx[1:]) or ends[-1] != arr.size:
+        return None
+    cp = np.where(
+        v1,
+        b0,
+        np.where(
+            width == 2,
+            ((b0 & 0x1F) << 6) | (b1 & 0x3F),
+            np.where(
+                width == 3,
+                ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F),
+                ((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6) | (b3 & 0x3F),
+            ),
+        ),
+    )
+    return cp.astype(np.int32)
+
+
+def decode_runes_array(data: bytes) -> "np.ndarray":
+    """Go-rune decode as an int32 array: vectorized fast path, exact
+    sequential fallback for invalid UTF-8."""
+    fast = go_decode_runes_np(data)
+    if fast is not None:
+        return fast
+    return np.array(go_decode_runes(data), dtype=np.int32)
+
+
+def runes_to_utf8_np(runes) -> bytes:
+    """Vectorized inverse of the rune decode (valid runes in, UTF-8 out)."""
+    r = np.asarray(runes, dtype=np.int32)
+    if r.size == 0:
+        return b""
+    bad = (r < 0) | (r > 0x10FFFF) | ((r >= 0xD800) & (r <= 0xDFFF))
+    r = np.where(bad, RUNE_ERROR, r)
+    w = np.where(r < 0x80, 1, np.where(r < 0x800, 2, np.where(r < 0x10000, 3, 4)))
+    off = np.cumsum(w) - w
+    out = np.zeros(int(w.sum()), dtype=np.uint8)
+    m1 = w == 1
+    out[off[m1]] = r[m1]
+    m2 = w == 2
+    out[off[m2]] = 0xC0 | (r[m2] >> 6)
+    out[off[m2] + 1] = 0x80 | (r[m2] & 0x3F)
+    m3 = w == 3
+    out[off[m3]] = 0xE0 | (r[m3] >> 12)
+    out[off[m3] + 1] = 0x80 | ((r[m3] >> 6) & 0x3F)
+    out[off[m3] + 2] = 0x80 | (r[m3] & 0x3F)
+    m4 = w == 4
+    out[off[m4]] = 0xF0 | (r[m4] >> 18)
+    out[off[m4] + 1] = 0x80 | ((r[m4] >> 12) & 0x3F)
+    out[off[m4] + 2] = 0x80 | ((r[m4] >> 6) & 0x3F)
+    out[off[m4] + 3] = 0x80 | (r[m4] & 0x3F)
+    return out.tobytes()
+
+
 # ---------------------------------------------------------------------------
 # Tree build — exact parity with reference buildTree (huffman.go:58)
 
@@ -300,12 +392,14 @@ def decompress(data: bytes) -> bytes:
 
     out_runes: list[int] = []
     if isinstance(tree, Leaf):
-        if bits.size:
-            # reference: findCodes loops at the root leaf until the 900k
-            # recursion cap, then panics (huffman.go:131-133)
-            raise ValueError("huffman: single-leaf tree with non-empty payload")
-        out_runes.append(tree.value)
-        return rune_to_utf8(tree.value)
+        # Single-symbol input assigns a zero-length code, so the payload
+        # carries no information and the reference's decoder loops at the
+        # root leaf until its 900k recursion cap panics (huffman.go:131-133).
+        # Raising beats silently returning truncated data.
+        raise ValueError(
+            "huffman: single-symbol stream is not decodable "
+            "(zero-length code; reference panics here)"
+        )
 
     node = tree
     i, nbits = 0, int(bits.size)

@@ -59,6 +59,30 @@ def encode_opening_symbols(data: bytes) -> bytes:
     return out.tobytes()
 
 
+def decode_opening_symbols_np(data: bytes) -> bytes:
+    """Escape decode pass (lzss.go:391), vectorized.
+
+    A byte is "escaped" iff it is preceded by an ODD run of 0x5C bytes that
+    are themselves unescaped — equivalently, iff the run of consecutive
+    0x5C immediately before it has odd length (escape pairs cancel).
+    """
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size == 0:
+        return b""
+    is_esc_byte = arr == ESCAPE
+    idx = np.arange(arr.size)
+    last_non = np.maximum.accumulate(np.where(~is_esc_byte, idx, -1))
+    # run of 0x5C immediately before position i
+    run_before = idx - 1 - np.where(idx > 0, last_non[np.maximum(idx - 1, 0)], -1)
+    run_before[0] = 0
+    escaped = (run_before % 2) == 1
+    keep = ~(is_esc_byte & ~escaped)
+    out = np.where((arr == ENCODED_OPENING) & ~escaped, np.uint8(OPENING), arr)
+    return out[keep].tobytes()
+
+
 def decode_opening_symbols(data: bytes) -> bytes:
     """Escape decode pass (lzss.go:391)."""
     out = bytearray()

@@ -486,20 +486,25 @@ def _compact_kernel(pad_ref, facc_ref, fnb_ref, slots_ref, cnts_ref, out_ref, ti
             out_ref[0, pl.ds(row, 8), :] = tile[:]
             tile[:] = jnp.zeros((8, LANES), jnp.int32)
 
-    def body(s, _):
-        n = cnts_ref[0, 0, s]
+    UNROLL = 8
 
-        @pl.when(n > 0)
-        def _w0():
-            emit(slots_ref[0, 0, 2 * s])
+    def body(u, _):
+        # unrolled: the fori/read fixed cost (~28 cyc) amortizes 8 steps
+        for k in range(UNROLL):
+            s = u * UNROLL + k
+            n = cnts_ref[0, 0, s]
 
-        @pl.when(n > 1)
-        def _w1():
-            emit(slots_ref[0, 0, 2 * s + 1])
+            @pl.when(n > 0)
+            def _w0(s=s):
+                emit(slots_ref[0, 0, 2 * s])
+
+            @pl.when(n > 1)
+            def _w1(s=s):
+                emit(slots_ref[0, 0, 2 * s + 1])
 
         return 0
 
-    jax.lax.fori_loop(0, CBL, body, 0)
+    jax.lax.fori_loop(0, CBL // UNROLL, body, 0)
 
     @pl.when(c == nc - 1)
     def _tail():
@@ -606,6 +611,215 @@ def encode_rows(
     )
     byte_lens = (pad + total_bits) // 8
     return out, byte_lens, fin_b[2]
+
+
+# ---------------------------------------------------------------------------
+# Decode
+
+
+def _dec_kernel(words_ref, len_ref, out_ref, eof_ref, value, low, high, cnt, frozen,
+                hi, lo, avail, wptr, cum):
+    """Vectorized arithmetic decode: all blocks in lockstep.
+
+    Bit supply: a per-block 64-bit window (hi, lo) refilled one 32-bit word
+    per step via a masked sum-reduction over the whole VMEM-resident word
+    array (j == wptr selects the word; wptr past the stream reduces to 0,
+    which IS the reference's exhausted-read zero-fill, bits.go:12). The
+    decoder tail bit (arithmetic.go:48) is pre-injected by the wrapper.
+    """
+    rows = len_ref.shape[0]
+    pid = pl.program_id(0)
+    capw = words_ref.shape[0]
+    jota = jax.lax.broadcasted_iota(jnp.int32, (capw, rows, LANES), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
+    n = len_ref[:]
+
+    def refill(hiv, lov, av, wp):
+        need = av <= 32
+        w = jnp.sum(jnp.where(jota == wp[None], words_ref[:], 0), axis=0)
+        hiv = jnp.where(need & (av < 32), hiv | _shr(w, av), hiv)
+        lov = jnp.where(
+            need,
+            lov | jnp.where(av < 32, _shl(w, 32 - av), _shr(w, av - 32)),
+            lov,
+        )
+        av = jnp.where(need, av + 32, av)
+        wp = jnp.where(need, wp + 1, wp)
+        return hiv, lov, av, wp
+
+    def take(hiv, lov, av, k):
+        """Consume k (<=16, per-lane) bits; returns them right-aligned."""
+        bits = _shr(hiv, 32 - k)
+        hiv = _shl(hiv, k) | _shr(lov, 32 - k)
+        lov = _shl(lov, k)
+        return bits, hiv, lov, av - k
+
+    @pl.when(pid == 0)
+    def _init():
+        cnt[:] = jnp.full((rows, LANES), 257, jnp.int32)
+        frozen[:] = jnp.zeros((rows, LANES), jnp.int32)
+        cum[:] = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
+        low[:] = jnp.zeros((rows, LANES), jnp.int32)
+        high[:] = jnp.full((rows, LANES), MAX_CODE, jnp.int32)
+        eof_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+        h, l, a, w = jnp.zeros((rows, LANES), jnp.int32), jnp.zeros((rows, LANES), jnp.int32), jnp.zeros((rows, LANES), jnp.int32), jnp.zeros((rows, LANES), jnp.int32)
+        h, l, a, w = refill(h, l, a, w)
+        h, l, a, w = refill(h, l, a, w)
+        # strip the 0..01 prepad: up to 8 leading zeros then the sentinel 1
+        pad_done = jnp.zeros((rows, LANES), jnp.bool_)
+        for _ in range(8):
+            bit = _shr(h, 31)
+            adv = ~pad_done
+            h = jnp.where(adv, _shl(h, 1) | _shr(l, 31), h)
+            l = jnp.where(adv, _shl(l, 1), l)
+            a = a - adv.astype(jnp.int32)
+            pad_done = pad_done | (adv & (bit == 1))
+        v, h, l, a = take(h, l, a, jnp.full((rows, LANES), 16, jnp.int32))
+        value[:] = v
+        hi[:] = h
+        lo[:] = l
+        avail[:] = a
+        wptr[:] = w
+
+    def body(s, _):
+        g = pid * CHUNK + s
+        active = g <= n
+
+        hiv, lov, av, wp = refill(hi[:], lo[:], avail[:], wptr[:])
+
+        lowv, highv, val = low[:], high[:], value[:]
+        cntv, frz, cumv = cnt[:], frozen[:], cum[:]
+
+        diff = highv - lowv + 1
+        scaled = ((val - lowv + 1) * cntv - 1) // diff
+        sym = jnp.sum(
+            ((iota >= 1) & (iota <= 257) & (cumv <= scaled[None])).astype(jnp.int32),
+            axis=0,
+        )
+        sym = jnp.minimum(sym, 256)
+        symb = sym[None]
+        sel = jnp.where(iota == symb, cumv, 0) + jnp.where(
+            iota == symb + 1, cumv << 15, 0
+        )
+        red = jnp.sum(sel, axis=0)
+        lower = red & 0x7FFF
+        upper = red >> 15
+        count = cntv
+
+        upd = active & (frz == 0)
+        cum[:] = jnp.where((iota > symb) & upd[None], cumv + 1, cumv)
+        newcnt = jnp.where(upd, cntv + 1, cntv)
+        cnt[:] = newcnt
+        frozen[:] = jnp.where(newcnt >= MAX_FREQ, 1, frz)
+
+        is_eof = sym == EOF
+        eof_ref[:] = jnp.where(active & (g == n), is_eof.astype(jnp.int32), eof_ref[:])
+        act = active & ~is_eof
+
+        nh = jnp.where(act, lowv + (diff * upper) // count - 1, highv)
+        nl = jnp.where(act, lowv + (diff * lower) // count, lowv)
+
+        done = ~act
+        for _ in range(RENORM_ITERS):
+            e1 = nh < ONE_HALF
+            e2 = nl >= ONE_HALF
+            e3 = (nl >= ONE_FOURTH) & (nh < THREE_FOURTHS)
+            cont = (e1 | e2 | e3) & ~done
+            sub = jnp.where(e2, ONE_HALF, jnp.where(e3 & ~e1, ONE_FOURTH, 0))
+            bit = _shr(hiv, 31)
+            val = jnp.where(cont, ((val - sub) << 1) + bit, val)
+            hiv = jnp.where(cont, _shl(hiv, 1) | _shr(lov, 31), hiv)
+            lov = jnp.where(cont, _shl(lov, 1), lov)
+            av = av - cont.astype(jnp.int32)
+            nl = jnp.where(cont, (nl - sub) << 1, nl)
+            nh = jnp.where(cont, ((nh - sub) << 1) + 1, nh)
+            done = done | ~cont
+
+        out_ref[s] = jnp.where(active & ~is_eof, sym, 0)
+        value[:] = val
+        low[:] = nl
+        high[:] = nh
+        hi[:] = hiv
+        lo[:] = lov
+        avail[:] = av
+        wptr[:] = wp
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "interpret"))
+def decode_words(words: jax.Array, out_lens: jax.Array, num_steps: int | None = None, interpret: bool = False):
+    """Device arithmetic decode of rows*128 blocks in lockstep.
+
+    Args:
+      words: (capw, rows, 128) int32 — per-block streams as 32-bit words,
+        bit 31 of word 0 = first stream bit (prepad included); the [1, 0]
+        decoder tail must already be injected (see decode_rows).
+      out_lens: (rows, 128) int32 known decoded byte counts.
+      num_steps: static number of decode steps (>= max(out_lens) + 1),
+        multiple of CHUNK. Defaults from the words shape is not possible —
+        pass explicitly.
+
+    Returns (syms (num_steps, rows, 128) int32, eof_ok (rows, 128) int32).
+    """
+    capw, rows, lanes = words.shape
+    S = num_steps
+    grid = (S // CHUNK,)
+    return pl.pallas_call(
+        _dec_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((capw, rows, LANES), lambda g: (0, 0, 0)),
+            pl.BlockSpec((rows, LANES), lambda g: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, rows, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((rows, LANES), lambda g: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.int32)] * 9
+        + [pltpu.VMEM((NSYM, rows, LANES), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(words, out_lens.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "interpret"))
+def decode_rows(
+    payload_rows: jax.Array,
+    byte_lens: jax.Array,
+    out_lens: jax.Array,
+    num_steps: int,
+    interpret: bool = False,
+):
+    """(B, capb) uint8 `.rsn` payload rows -> (B, num_steps) decoded bytes.
+
+    byte_lens: (B,) payload sizes; out_lens: (B,) known decoded sizes.
+    B % 128 == 0; capb % 4 == 0; num_steps % CHUNK == 0.
+    """
+    B, capb = payload_rows.shape
+    rows = B // LANES
+    capw = capb // 4
+    # big-endian 32-bit words: bit 31 of word j = stream bit 32j
+    w4 = payload_rows.reshape(B, capw, 4).astype(jnp.uint32)
+    sh = jnp.array([24, 16, 8, 0], dtype=jnp.uint32)
+    words = jnp.sum(w4 << sh[None, None, :], axis=-1).astype(jnp.int32)
+    # inject the decoder tail bit 1 right after the payload (arithmetic.go:48)
+    tail_bit = byte_lens * 8
+    j = jnp.arange(capw, dtype=jnp.int32)[None, :]
+    mask = (jnp.int32(1) << (31 - (tail_bit % 32)))[:, None]
+    words = jnp.where(j == (tail_bit // 32)[:, None], words | mask, words)
+    wt = words.reshape(rows, LANES, capw).transpose(2, 0, 1)
+    ol = out_lens.reshape(rows, LANES)
+    syms, eof = decode_words(wt, ol, num_steps=num_steps, interpret=interpret)
+    syms_b = syms.transpose(1, 2, 0).reshape(B, num_steps).astype(jnp.uint8)
+    return syms_b, eof.reshape(B)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

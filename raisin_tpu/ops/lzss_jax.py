@@ -240,9 +240,10 @@ def commit_blocks(x: jax.Array, L: jax.Array, D: jax.Array, lengths: jax.Array):
 
 
 def _bucket(n: int) -> int:
+    # x2 buckets (see ops/arithmetic_scan._bucket)
     size = 1024
     while size < n:
-        size *= 4
+        size *= 2
     return size
 
 

@@ -196,8 +196,26 @@ def _rows_payloads(rows_dev, byte_lens: np.ndarray, count: int) -> list[bytes]:
 
 
 def _encode_lzss_arith_rows(blocks: list[bytes], mesh):
-    """TPU fast path: fused match+commit+arithmetic with in-kernel packing."""
+    """TPU fast path: fused match+commit+arithmetic with in-kernel packing.
+
+    Batches of <= 1024 blocks per kernel call (the encoder keeps the model
+    of 128 blocks per vector-register lane group in VMEM); all batches are
+    dispatched before any result is awaited, so they pipeline on device.
+    """
     from raisin_tpu.ops import pipeline_jax
+
+    maxb = 1024 * _mesh_size(mesh)
+    if len(blocks) > maxb:
+        payloads: list[bytes] = []
+        toks: list[int] = []
+        parts = [
+            _encode_lzss_arith_rows(blocks[i : i + maxb], mesh)
+            for i in range(0, len(blocks), maxb)
+        ]
+        for p, t in parts:
+            payloads.extend(p)
+            toks.extend(t)
+        return payloads, toks
 
     x, lengths, S = _escaped_blocks(blocks, mesh, align=128)
     steps = (S + 8 + 511) // 512 * 512
@@ -235,6 +253,13 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh):
 def _encode_arithmetic_rows(blocks: list[bytes], mesh) -> list[bytes]:
     """TPU fast path: pure-arithmetic container encode via Pallas rows."""
     from raisin_tpu.ops import pipeline_jax
+
+    maxb = 1024 * _mesh_size(mesh)
+    if len(blocks) > maxb:
+        out: list[bytes] = []
+        for i in range(0, len(blocks), maxb):
+            out.extend(_encode_arithmetic_rows(blocks[i : i + maxb], mesh))
+        return out
 
     B = _pad_block_count(len(blocks), mesh, align=128)
     steps = max(512, ( _bucket(max(len(b) for b in blocks) + 1) + 511) // 512 * 512)
@@ -307,7 +332,105 @@ def _encode_lzss_arithmetic_batch(blocks: list[bytes], mesh):
     return _encode_lzss_pipeline(blocks, mesh, with_arith=True)
 
 
+def _decode_arithmetic_rows(payloads: list[bytes], out_lens: list[int], mesh) -> list[bytes]:
+    """TPU fast path: Pallas lockstep arithmetic decode."""
+    from raisin_tpu.ops import arithmetic_pallas as ap
+
+    maxb = 1024 * _mesh_size(mesh)
+    if len(payloads) > maxb:
+        out: list[bytes] = []
+        for i in range(0, len(payloads), maxb):
+            out.extend(
+                _decode_arithmetic_rows(payloads[i : i + maxb], out_lens[i : i + maxb], mesh)
+            )
+        return out
+
+    B = _pad_block_count(len(payloads), mesh, align=128)
+    capb = (max(len(p) for p in payloads) + 511) // 512 * 512
+    steps = max(128, (max(out_lens) + 1 + 127) // 128 * 128)
+    prows = np.zeros((B, capb), dtype=np.uint8)
+    blens = np.zeros(B, dtype=np.int32)
+    olens = np.zeros(B, dtype=np.int32)
+    for i, p in enumerate(payloads):
+        prows[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+        blens[i] = len(p)
+        olens[i] = out_lens[i]
+    dec = functools.partial(ap.decode_rows, num_steps=steps)
+    if mesh is not None:
+        dec = jax.shard_map(
+            dec,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )
+    syms, eof = dec(_shard_blocks(prows, mesh), _shard_blocks(blens, mesh), _shard_blocks(olens, mesh))
+    syms = np.asarray(syms)
+    eof = np.asarray(eof)
+    out = []
+    for i in range(len(payloads)):
+        if not bool(eof[i]):
+            raise ValueError(f"container: block {i} missing EOF symbol")
+        out.append(syms[i, : out_lens[i]].tobytes())
+    return out
+
+
+def _decode_lzss_arith_rows(
+    payloads: list[bytes], tok_lens: list[int], out_lens: list[int], mesh
+) -> list[bytes]:
+    """TPU fast path: Pallas arithmetic decode -> Pallas LZSS token decode,
+    tokens never leaving the device; host does only the (vectorized)
+    escape-decode layer and length verification."""
+    from raisin_tpu.formats.lzss_ref import decode_opening_symbols_np
+    from raisin_tpu.ops import arithmetic_pallas as ap
+    from raisin_tpu.ops import lzss_decode_pallas as dp
+
+    maxb = 1024 * _mesh_size(mesh)
+    if len(payloads) > maxb:
+        out: list[bytes] = []
+        for i in range(0, len(payloads), maxb):
+            out.extend(
+                _decode_lzss_arith_rows(
+                    payloads[i : i + maxb], tok_lens[i : i + maxb], out_lens[i : i + maxb], mesh
+                )
+            )
+        return out
+
+    B = _pad_block_count(len(payloads), mesh, align=128)
+    capb = (max(len(p) for p in payloads) + 511) // 512 * 512
+    steps = max(128, (max(tok_lens) + 1 + 127) // 128 * 128)
+    cap_out = (2 * max(out_lens) + 4095) // 4096 * 4096
+    prows = np.zeros((B, capb), dtype=np.uint8)
+    blens = np.zeros(B, dtype=np.int32)
+    tlens = np.zeros(B, dtype=np.int32)
+    for i, p in enumerate(payloads):
+        prows[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+        blens[i] = len(p)
+        tlens[i] = tok_lens[i]
+
+    tokens, eof = ap.decode_rows(prows, blens, tlens, num_steps=steps)
+    rows, olens = dp.lzss_decode_blocks(tokens, tlens, cap_out=cap_out)
+    olens = np.asarray(olens)
+    need_w = min(((int(olens[: len(payloads)].max()) + 3) // 4 + 128) // 128 * 128, rows.shape[1])
+    rows_np = np.asarray(rows[:, :need_w])
+    eof = np.asarray(eof)
+    out = []
+    for i in range(len(payloads)):
+        if not bool(eof[i]):
+            raise ValueError(f"container: block {i} missing EOF symbol")
+        esc = rows_np[i].tobytes()[: olens[i]]
+        dec = decode_opening_symbols_np(esc)
+        if len(dec) != out_lens[i]:
+            raise ValueError(
+                f"container: block {i} decoded {len(dec)} bytes, expected {out_lens[i]}"
+            )
+        out.append(dec)
+    return out
+
+
 def _decode_arithmetic_batch(payloads: list[bytes], out_lens: list[int], mesh) -> list[bytes]:
+    if _use_pallas() and max(len(p) for p in payloads) <= 8192:
+        return _decode_arithmetic_rows(payloads, out_lens, mesh)
     B = _pad_block_count(len(payloads), mesh)
     lens = np.zeros(B, dtype=np.int32)
     outl = np.zeros(B, dtype=np.int32)
@@ -415,13 +538,22 @@ def decompress_container(data: bytes, mesh=None) -> bytes:
     if algorithms == ("arithmetic",):
         blocks = _decode_arithmetic_batch(payloads, out_lens, mesh)
     elif algorithms == ("lzss", "arithmetic") and aux:
-        # arithmetic layer on device with the recorded token-stream lengths;
-        # LZSS token decode on host (C native when available)
-        from raisin_tpu.engine.registry import get_codec
+        out_lens_i = [int(v) for v in out_lens]
+        if (
+            _use_pallas()
+            and max(len(p) for p in payloads) <= 8192
+            and max(out_lens_i) <= 8192
+        ):
+            # fully-device decode: arithmetic + LZSS token parse in Pallas
+            blocks = _decode_lzss_arith_rows(payloads, aux[0], out_lens_i, mesh)
+        else:
+            # arithmetic layer on device with the recorded token lengths;
+            # LZSS token decode on host (C native when available)
+            from raisin_tpu.engine.registry import get_codec
 
-        lz = get_codec("lzss", backend="native")  # falls back to host oracle
-        inter = _decode_arithmetic_batch(payloads, aux[0], mesh)
-        blocks = [lz.decompress(t) for t in inter]
+            lz = get_codec("lzss", backend="native")  # falls back to host oracle
+            inter = _decode_arithmetic_batch(payloads, aux[0], mesh)
+            blocks = [lz.decompress(t) for t in inter]
     else:
         from raisin_tpu.engine.core import decompress_bytes
 

