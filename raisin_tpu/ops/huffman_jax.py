@@ -205,9 +205,12 @@ def decompress(data: bytes) -> bytes:
     bits_np = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))[pad:]
 
     if isinstance(tree, hf.Leaf):
-        if bits_np.size:
-            raise ValueError("huffman: single-leaf tree with non-empty payload")
-        return hf.rune_to_utf8(tree.value)
+        # Zero-length code: undecodable; the reference panics (huffman.go:131-133).
+        # Match the oracle and raise instead of returning truncated data.
+        raise ValueError(
+            "huffman: single-symbol stream is not decodable "
+            "(zero-length code; reference panics here)"
+        )
 
     left, right, leaf, vals = _tree_arrays(tree)
     # bucket the node arrays so jit specializations are shared across trees

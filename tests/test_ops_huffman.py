@@ -15,7 +15,6 @@ from fixtures import HELLO, ABC, VERSE, UNICODE_TEXT, random_bytes, random_text
         ABC,
         VERSE,
         UNICODE_TEXT,
-        b"aaaa",  # single-symbol degenerate case
         b"newline\nhandling\n",
         random_bytes(500, seed=70),  # binary -> mangled identically to Go
         random_text(3000, seed=71),
@@ -25,6 +24,18 @@ def test_device_matches_oracle(payload):
     got = dev.compress(payload)
     assert got == ref.compress(payload)
     assert dev.decompress(got) == ref.decompress(got)
+
+
+def test_single_symbol_raises_like_oracle():
+    # Single-symbol input yields a zero-length code; the reference decoder
+    # panics there (huffman.go:131-133). Both paths must raise, and the
+    # compressed bytes must still match bit-for-bit.
+    got = dev.compress(b"aaaa")
+    assert got == ref.compress(b"aaaa")
+    with pytest.raises(ValueError):
+        ref.decompress(got)
+    with pytest.raises(ValueError):
+        dev.decompress(got)
 
 
 def test_corrupt_stream_behavior_matches_oracle():
