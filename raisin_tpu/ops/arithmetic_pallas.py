@@ -209,13 +209,18 @@ def encode_events(symbols: jax.Array, lengths: jax.Array, interpret: bool = Fals
 # where `rest` packs the 2nd..16th emissions with their in-step pending
 # flushes (<= 15 emits + <= 15 pends). Both pieces are appended with ONE
 # bounded branchless append each (<= 32 bits), so a step completes at most
-# TWO 32-bit output words. Completed words go to dense (step, slot) planes —
-# uniform addressing, fully vectorized over 1024 blocks. A tiny sequential
-# pass (compact_rows) then squeezes the slots into contiguous per-block
-# words and applies the `.rsn` prepad (bits.go:48) as a constant per-block
-# bit shift. Carried pending > 31 at a flush cannot be appended in one piece
-# — those blocks set a sticky overflow flag (astronomically rare: it needs a
-# >31-straddle run) and the host re-encodes them on the oracle path.
+# TWO 32-bit output words. Completed words are compacted IN-KERNEL into a
+# per-chunk dense staging buffer (a masked vector write over STC slots per
+# append — uniform addressing, fully vectorized over 1024 blocks), so the
+# kernel's outputs are already dense per (block, chunk): a short sequential
+# stitch (stitch_words: one visit per WORD, not per step) concatenates the
+# chunk lists and a fully-vectorized XLA epilogue applies the `.rsn` prepad
+# (bits.go:48) as a per-block bit shift plus byte swap. Carried pending > 31
+# at a flush cannot be appended in one piece — those blocks set a sticky
+# overflow flag (astronomically rare: it needs a >31-straddle run) and the
+# host re-encodes them on the oracle path. A chunk overflowing STC words
+# (impossible while count <= 16383 keeps 14.1 bits/symbol the ceiling; see
+# STC note below) sets the same flag.
 
 
 def _append32(acc, nb, v, w):
@@ -257,15 +262,21 @@ def _shr(v, k):
     return u.astype(jnp.int32)
 
 
-def _pack_kernel(
-    sym_ref, len_ref, slots_ref, cnt_ref, fin_ref,
-    low, high, pend, cnt, frozen, acc, nb, flag, cum,
-):
-    """Fused encoder: per-step completed 32-bit words instead of events.
+STC = 64  # staged words per chunk. Bound: the adaptive model's worst cost is
+# log2(count) <= log2(16383) ~ 14.0 bits/symbol, so a CHUNK of 128 symbols
+# emits <= ~14.1*128 bits ~ 57 words even with a released pending run; 64
+# leaves slack, and overflow is caught by the sticky flag -> oracle retry.
 
-    Outputs per grid step: slots (CHUNK, 2, rows, 128) completed words in
-    emission order; cnt (CHUNK, rows, 128) words completed (0..2).
-    fin (4, rows, 128): final acc, final nb, overflow flag, total words.
+
+def _pack_kernel(
+    sym_ref, len_ref, chunk_ref, ccnt_ref, fin_ref,
+    low, high, pend, cnt, frozen, acc, nb, flag, cum, stage, swid,
+):
+    """Fused encoder: chunk-dense completed 32-bit words.
+
+    Outputs per grid step: chunk (STC, rows, 128) completed words (dense,
+    emission order) and ccnt (rows, 128) words in this chunk.
+    fin (3, rows, 128): final acc, final nb, overflow flag.
     """
     rows = len_ref.shape[0]
     pid = pl.program_id(0)
@@ -282,10 +293,15 @@ def _pack_kernel(
         flag[:] = jnp.zeros((rows, LANES), jnp.int32)
         cum[:] = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
 
+    # the staging buffer restarts empty every chunk
+    stage[:] = jnp.zeros((STC, rows, LANES), jnp.int32)
+    swid[:] = jnp.zeros((rows, LANES), jnp.int32)
+
     n = len_ref[:]
     iota = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
+    siota = jax.lax.broadcasted_iota(jnp.int32, (STC, rows, LANES), 0)
 
-    def body(s, nwords):
+    def body(s, _):
         g = pid * CHUNK + s
         sym = sym_ref[s]
         active = g <= n
@@ -360,63 +376,64 @@ def _pack_kernel(
         high[:] = nh
         pend[:] = pendv
 
-        slots_ref[s, 0] = jnp.where(ca, word_a, word_b)
-        slots_ref[s, 1] = word_b
-        nc = ca.astype(jnp.int32) + cb.astype(jnp.int32)
-        cnt_ref[s] = nc
-        return nwords + nc
+        # dense in-chunk compaction: masked append of the completed words
+        sidx = swid[:]
+        ca32 = ca.astype(jnp.int32)
+        sa = sidx[None]
+        stage[:] = jnp.where(
+            (siota == sa) & ca[None],
+            word_a[None],
+            jnp.where((siota == sa + ca32[None]) & cb[None], word_b[None], stage[:]),
+        )
+        swid[:] = sidx + ca32 + cb.astype(jnp.int32)
+        return 0
 
-    nwords = jax.lax.fori_loop(
-        0, CHUNK, body, jnp.zeros((rows, LANES), jnp.int32)
-    )
+    jax.lax.fori_loop(0, CHUNK, body, 0)
 
-    @pl.when(pid == 0)
-    def _zero_fin():
-        fin_ref[3] = jnp.zeros((rows, LANES), jnp.int32)
-
+    chunk_ref[0] = stage[:]
+    ccnt_ref[0] = swid[:]
+    flag[:] = jnp.where(swid[:] > STC, 1, flag[:])  # sticky across chunks
     fin_ref[0] = acc[:]
     fin_ref[1] = nb[:]
     fin_ref[2] = flag[:]
-    fin_ref[3] = fin_ref[3] + nwords
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def encode_packed_words(symbols: jax.Array, lengths: jax.Array, interpret: bool = False):
-    """Fused encode+pack: per-step completed-word slots, gather-free.
+def encode_chunked_words(symbols: jax.Array, lengths: jax.Array, interpret: bool = False):
+    """Fused encode+pack: chunk-dense completed words, gather-free.
 
     Args:
       symbols: (S, rows, 128) int32, EOF at position ``lengths``.
       lengths: (rows, 128) int32.
 
     Returns:
-      slots: (S, 2, rows, 128) int32 — completed 32-bit words per step
-        (bit 31 first), in emission order.
-      cnts:  (S, rows, 128) int32 — completed words per step (0..2).
-      fin:   (4, rows, 128) int32 — [final acc, final nb, overflow flag,
-        total completed words].
+      chunks: (S // CHUNK, STC, rows, 128) int32 — completed 32-bit words
+        (bit 31 first), dense per chunk, in emission order.
+      ccnts:  (S // CHUNK, rows, 128) int32 — words completed per chunk.
+      fin:    (3, rows, 128) int32 — [final acc, final nb, overflow flag].
     """
     S, rows, lanes = symbols.shape
     if lanes != LANES:
         raise ValueError(f"lane dim must be {LANES}")
     if S % CHUNK != 0:
         raise ValueError(f"S must be a multiple of {CHUNK}")
-    grid = (S // CHUNK,)
+    G = S // CHUNK
     return pl.pallas_call(
         _pack_kernel,
-        grid=grid,
+        grid=(G,),
         in_specs=[
             pl.BlockSpec((CHUNK, rows, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((rows, LANES), lambda g: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, 2, rows, LANES), lambda g: (g, 0, 0, 0)),
-            pl.BlockSpec((CHUNK, rows, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((4, rows, LANES), lambda g: (0, 0, 0)),
+            pl.BlockSpec((1, STC, rows, LANES), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((3, rows, LANES), lambda g: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, 2, rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((S, rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((4, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, STC, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((3, rows, LANES), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, LANES), jnp.int32),
@@ -428,6 +445,8 @@ def encode_packed_words(symbols: jax.Array, lengths: jax.Array, interpret: bool 
             pltpu.VMEM((rows, LANES), jnp.int32),
             pltpu.VMEM((rows, LANES), jnp.int32),
             pltpu.VMEM((NSYM, rows, LANES), jnp.int32),
+            pltpu.VMEM((STC, rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -436,48 +455,26 @@ def encode_packed_words(symbols: jax.Array, lengths: jax.Array, interpret: bool 
     )(symbols, lengths)
 
 
-CB = 512  # pass-B steps per grid iteration
+def _stitch_kernel(cnt_ref, chunks_ref, out_ref, tile, st):
+    """Concatenate per-chunk dense word lists into contiguous block rows.
 
-
-def _compact_kernel(pad_ref, facc_ref, fnb_ref, slots_ref, cnts_ref, out_ref, tile, st):
-    """Squeeze per-step word slots into contiguous per-block output words.
-
-    Sequential walk per block (grid = (B, S/CB)); applies the per-block
-    prepad shift and a byte swap so the host can view the row directly as
-    the big-endian `.rsn` byte stream. st (SMEM scratch): [widx, prev].
+    One block per grid step; visits one WORD per emitted word (not one per
+    symbol step). No bit shifting here — the `.rsn` prepad alignment and
+    byte swap are a fully-vectorized XLA epilogue (see encode_rows).
     """
-    b = pl.program_id(0)
-    c = pl.program_id(1)
-    nc = pl.num_programs(1)
-    p = pad_ref[b]  # prepad width, 1..8
-    CBL = cnts_ref.shape[2]
-
-    @pl.when(c == 0)
-    def _init():
-        st[0] = 0  # widx
-        st[1] = 1  # prev: sentinel pattern 0..01 in its low p bits
-        tile[:] = jnp.zeros((8, LANES), jnp.int32)
+    C, STCL = chunks_ref.shape[1], chunks_ref.shape[2]
+    capw = out_ref.shape[1] * LANES
 
     Js = (
         jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
         + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     )
-    capw = out_ref.shape[1] * LANES
+    tile[:] = jnp.zeros((8, LANES), jnp.int32)
+    st[0] = 0  # widx
 
-    def emit(cur):
-        # one output word: p carried bits then the top 32-p bits of cur
+    def emit(w):
         widx = st[0]
-        prev = st[1]
-        w = (prev << (32 - p)) | jnp.where(
-            p >= 32, 0, (cur.astype(jnp.uint32) >> p.astype(jnp.uint32)).astype(jnp.int32)
-        )
-        # byte swap so little-endian host int32 reads as the byte stream
-        u = w.astype(jnp.uint32)
-        w = (
-            (u >> 24) | ((u >> 8) & 0xFF00) | ((u & 0xFF00) << 8) | (u << 24)
-        ).astype(jnp.int32)
         tile[:] = jnp.where(Js == (widx % 1024), w, tile[:])
-        st[1] = cur
         st[0] = widx + 1
 
         @pl.when((widx + 1) % 1024 == 0)
@@ -486,92 +483,54 @@ def _compact_kernel(pad_ref, facc_ref, fnb_ref, slots_ref, cnts_ref, out_ref, ti
             out_ref[0, pl.ds(row, 8), :] = tile[:]
             tile[:] = jnp.zeros((8, LANES), jnp.int32)
 
-    UNROLL = 8
+    def chunk_body(c, _):
+        m = jnp.minimum(cnt_ref[0, 0, c], STCL)
 
-    def body(u, _):
-        # unrolled: the fori/read fixed cost (~28 cyc) amortizes 8 steps
-        for k in range(UNROLL):
-            s = u * UNROLL + k
-            n = cnts_ref[0, 0, s]
+        def word_body(k, _):
+            emit(chunks_ref[0, c, k])
+            return 0
 
-            @pl.when(n > 0)
-            def _w0(s=s):
-                emit(slots_ref[0, 0, 2 * s])
-
-            @pl.when(n > 1)
-            def _w1(s=s):
-                emit(slots_ref[0, 0, 2 * s + 1])
-
+        jax.lax.fori_loop(0, m, word_body, 0)
         return 0
 
-    jax.lax.fori_loop(0, CBL // UNROLL, body, 0)
+    jax.lax.fori_loop(0, C, chunk_body, 0)
 
-    @pl.when(c == nc - 1)
-    def _tail():
-        # remaining bits: p carried + fnb in the top of facc -> <= 2 words
-        fnb = fnb_ref[b]
-        emit(facc_ref[b])
+    # Always write the tile holding position widx (zeros past the data):
+    # the epilogue injects the final partial word at raw[widx], which must
+    # read back 0. Skipped only on capacity overflow (caller retries).
+    widx = st[0]
 
-        @pl.when(p + fnb > 32)
-        def _second():
-            emit(jnp.int32(0))
-
-        widx = st[0]
-        row = jnp.minimum(widx // 1024, capw // 1024 - 1) * 8
-        out_ref[0, pl.ds(row, 8), :] = tile[:]
+    @pl.when(widx < capw)
+    def _final_flush():
+        out_ref[0, pl.ds((widx // 1024) * 8, 8), :] = tile[:]
 
 
 @functools.partial(jax.jit, static_argnames=("capw", "interpret"))
-def compact_rows(
-    slots_b: jax.Array,
-    cnts_b: jax.Array,
-    pad: jax.Array,
-    facc: jax.Array,
-    fnb: jax.Array,
-    capw: int,
-    interpret: bool = False,
+def stitch_words(
+    chunks_b: jax.Array, cnts_b: jax.Array, capw: int, interpret: bool = False
 ):
-    """(B, S, 2) slots + (B, S) counts -> (B, capw) contiguous output words."""
-    B, S, _ = slots_b.shape
-    if S % CB != 0:
-        raise ValueError(f"S must be a multiple of {CB}")
+    """(B, C, STC) chunk words + (B, C) counts -> (B, capw) contiguous words."""
+    B, C, stc = chunks_b.shape
     if capw % 1024 != 0:
         raise ValueError("capw must be a multiple of 1024")
-    C = S // CB
-    # TPU block shapes must match the trailing array dims exactly; chunk by
-    # folding (block, chunk) into the leading dim instead.
-    slots_flat = slots_b.reshape(B * C, 1, CB * 2)
-    cnts_flat = cnts_b.reshape(B * C, 1, CB)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B, C),
+    out = pl.pallas_call(
+        _stitch_kernel,
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, CB * 2),
-                lambda b, c, *_: (b * C + c, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, CB),
-                lambda b, c, *_: (b * C + c, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C, stc), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, capw // LANES, LANES), lambda b, c, *_: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, capw // LANES, LANES), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, capw // LANES, LANES), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
-    )
-    out = pl.pallas_call(
-        _compact_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, capw // LANES, LANES), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(pad.astype(jnp.int32), facc.astype(jnp.int32), fnb.astype(jnp.int32), slots_flat, cnts_flat)
+    )(cnts_b.reshape(B, 1, C), chunks_b)
     return out.reshape(B, capw)
 
 
@@ -583,7 +542,7 @@ def encode_rows(
 
     Args:
       symbols: (B, S) int32, EOF (256) at position ``lengths[b]``; B % 128
-        == 0, S % max(CHUNK, CB) == 0.
+        == 0, S % CHUNK == 0.
       lengths: (B,) int32.
       capw: static per-block output capacity in 32-bit words (multiple of
         1024). Caller retries with a larger bucket when byte_lens exceeds
@@ -594,23 +553,44 @@ def encode_rows(
         little-endian bytes directly as the stream bytes.
       byte_lens: (B,) int32.
       oflow: (B,) int32 — sticky flag for blocks whose carried-pending run
-        exceeded one 32-bit append (re-encode those on the host oracle).
+        exceeded one 32-bit append or whose chunk staging overflowed
+        (re-encode those on the host oracle).
     """
     B, S = symbols.shape
     rows = B // LANES
     sy = symbols.reshape(rows, LANES, S).transpose(2, 0, 1)
     ln = lengths.reshape(rows, LANES)
-    slots, cnts, fin = encode_packed_words(sy, ln, interpret=interpret)
-    slots_b = slots.transpose(2, 3, 0, 1).reshape(B, S, 2)
-    cnts_b = cnts.transpose(1, 2, 0).reshape(B, S)
-    fin_b = fin.reshape(4, B)
-    total_bits = fin_b[3] * 32 + fin_b[1]
-    pad = 8 - total_bits % 8  # 1..8 (bits.go:48)
-    out = compact_rows(
-        slots_b, cnts_b, pad, fin_b[0], fin_b[1], capw, interpret=interpret
-    )
+    chunks, ccnts, fin = encode_chunked_words(sy, ln, interpret=interpret)
+    G = S // CHUNK
+    chunks_b = chunks.transpose(2, 3, 0, 1).reshape(B, G, STC)
+    cnts_b = ccnts.transpose(1, 2, 0).reshape(B, G)
+    fin_b = fin.reshape(3, B)
+    facc, fnb, oflow = fin_b[0], fin_b[1], fin_b[2]
+    nwords = jnp.sum(cnts_b, axis=1)
+    raw = stitch_words(chunks_b, cnts_b, capw, interpret=interpret)
+
+    # XLA epilogue: inject the final partial word, apply the `.rsn` prepad
+    # (bits.go:48: (8 - bits % 8) bits, pattern 0..01, PREPENDED) as a
+    # per-block bit shift, and byte-swap so the little-endian host view of
+    # each int32 row reads as the big-endian `.rsn` bit stream.
+    total_bits = nwords * 32 + fnb
+    pad = 8 - total_bits % 8  # 1..8
+    j = jnp.arange(capw, dtype=jnp.int32)[None, :]
+    full = raw + jnp.where(j == nwords[:, None], facc[:, None], 0)
+    prev = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.int32), full[:, :-1]], axis=1
+    )  # virtual word -1 = the 0..01 pad pattern right-aligned
+    p = pad[:, None].astype(jnp.uint32)
+    u = full.astype(jnp.uint32)
+    shifted = ((prev.astype(jnp.uint32) << (32 - p)) | (u >> p)).astype(jnp.uint32)
+    sw = (
+        (shifted >> 24)
+        | ((shifted >> 8) & 0xFF00)
+        | ((shifted & 0xFF00) << 8)
+        | (shifted << 24)
+    ).astype(jnp.int32)
     byte_lens = (pad + total_bits) // 8
-    return out, byte_lens, fin_b[2]
+    return sw, byte_lens, oflow
 
 
 # ---------------------------------------------------------------------------
