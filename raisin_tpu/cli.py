@@ -23,6 +23,8 @@ Flags:
                            block-parallel scale path; decompress
                            auto-detects the RSNB magic)
     -blocksize=N           container block size in bytes (default 65536)
+    -devices=N|auto        container mode: shard blocks over a 'data' mesh
+                           of N (or all) devices — the multi-chip scale path
     -profile[=DIR]         wrap the run in a jax.profiler trace
                            (default DIR /tmp/raisin_tpu_trace)
 """
@@ -95,7 +97,7 @@ def _split_flags(args: list[str]) -> tuple[dict[str, str], list[str]]:
                 flags[name] = "true"
             elif i + 1 < len(args) and not args[i + 1].startswith("-"):
                 # Allow "-algorithm value" spelling in addition to "-algorithm=value"
-                if name in ("algorithm", "out", "outext", "backend", "blocksize"):
+                if name in ("algorithm", "out", "outext", "backend", "blocksize", "devices"):
                     flags[name] = args[i + 1]
                     i += 1
                 else:
@@ -168,13 +170,20 @@ def _run_command(command: str, flags: dict, positional: list[str], application: 
         delete_after = flags.get("delete") == "true"
         container = flags.get("container") == "true"
         block_size = int(flags.get("blocksize", str(1 << 16)))
+        devices = flags.get("devices")
         try:
             if len(files) > 1:
                 ext = "." + flags.get("outext", "rsn")
-                compress_files(algorithms, files, ext, container=container, block_size=block_size)
+                compress_files(
+                    algorithms, files, ext,
+                    container=container, block_size=block_size, devices=devices,
+                )
             else:
                 out = flags.get("out", files[0] + ".rsn")
-                compress_file(algorithms, files[0], out, container=container, block_size=block_size)
+                compress_file(
+                    algorithms, files[0], out,
+                    container=container, block_size=block_size, devices=devices,
+                )
         except KeyError as exc:
             return _error(f"{exc.args[0]}\nValid algorithms: {', '.join(registry.ENGINES)}\n")
         if delete_after:
@@ -193,7 +202,7 @@ def _run_command(command: str, flags: dict, positional: list[str], application: 
             else:
                 default_out = os.path.splitext(files[0])[0]
                 out = flags.get("out", default_out)
-                decompress_file(algorithms, files[0], out)
+                decompress_file(algorithms, files[0], out, devices=flags.get("devices"))
         except KeyError as exc:
             return _error(f"{exc.args[0]}\nValid algorithms: {', '.join(registry.ENGINES)}\n")
         except ValueError as exc:

@@ -74,6 +74,22 @@ def get_compressed_file_from_path(path: str) -> CompressedFile:
         return CompressedFile(compressed=f.read())
 
 
+def _resolve_mesh(devices: int | str | None):
+    """Build the 1-D 'data' mesh for the container scale path.
+
+    ``devices``: None/1 -> single device (no mesh); "auto" -> all visible
+    devices; N -> the first N devices.
+    """
+    if devices in (None, 1, "1", ""):
+        return None
+    from raisin_tpu.parallel.mesh import data_mesh
+
+    if devices == "auto":
+        return data_mesh()
+    n = int(devices)
+    return data_mesh(n) if n > 1 else None
+
+
 def compress_file(
     algorithms: list[str],
     path: str,
@@ -82,11 +98,13 @@ def compress_file(
     backend: str | None = None,
     container: bool = False,
     block_size: int = 1 << 16,
+    devices: int | str | None = None,
 ) -> bytes:
     """Parity with engine.CompressFile (engine.go:157).
 
     With ``container=True`` the output is an RSNB block container (the
-    block-parallel scale path) instead of a raw layered stream.
+    block-parallel scale path) instead of a raw layered stream; ``devices``
+    shards the container blocks over a 'data' mesh (see _resolve_mesh).
     """
     with open(path, "rb") as f:
         contents = f.read()
@@ -95,7 +113,9 @@ def compress_file(
     if container:
         from raisin_tpu.parallel.blocks import compress_container
 
-        compressed = compress_container(contents, tuple(algorithms), block_size)
+        compressed = compress_container(
+            contents, tuple(algorithms), block_size, mesh=_resolve_mesh(devices)
+        )
     else:
         compressed = compress_bytes(contents, algorithms, backend)
     with open(output, "wb") as f:
@@ -109,7 +129,12 @@ def compress_file(
 
 
 def decompress_file(
-    algorithms: list[str], path: str, output: str, quiet: bool = False, backend: str | None = None
+    algorithms: list[str],
+    path: str,
+    output: str,
+    quiet: bool = False,
+    backend: str | None = None,
+    devices: int | str | None = None,
 ) -> bytes:
     """Parity with engine.DecompressFile (engine.go:187)."""
     with open(path, "rb") as f:
@@ -119,7 +144,7 @@ def decompress_file(
     if contents[:4] == b"RSNB":
         from raisin_tpu.parallel.blocks import decompress_container
 
-        decompressed = decompress_container(contents)
+        decompressed = decompress_container(contents, mesh=_resolve_mesh(devices))
     else:
         decompressed = decompress_bytes(contents, algorithms, backend)
     with open(output, "wb") as f:

@@ -50,6 +50,7 @@ ROWS = 8  # preferred sublane rows of block-scalars (full int32 vregs)
 LANES = 128
 BLOCKS = ROWS * LANES  # preferred blocks per call
 NSYM = 264  # 258 cumulative entries padded to a sublane multiple
+NSYM2 = 132  # packed model: two 15-bit cumulative entries per int32 word
 CHUNK = 128  # symbols per grid step
 WORDS = RENORM_ITERS // 4  # 4 slot bytes packed per int32 output word
 
@@ -270,13 +271,18 @@ STC = 64  # staged words per chunk. Bound: the adaptive model's worst cost is
 
 def _pack_kernel(
     sym_ref, len_ref, chunk_ref, ccnt_ref, fin_ref,
-    low, high, pend, cnt, frozen, acc, nb, flag, cum, stage, swid,
+    low, high, pend, cnt, frozen, acc, nb, flag, cum, stage,
 ):
     """Fused encoder: chunk-dense completed 32-bit words.
 
     Outputs per grid step: chunk (STC, rows, 128) completed words (dense,
     emission order) and ccnt (rows, 128) words in this chunk.
     fin (3, rows, 128): final acc, final nb, overflow flag.
+
+    Per-block scalar state rides FORI-LOOP CARRIES (registers) within each
+    chunk and touches the scratch refs only at chunk boundaries — per-step
+    VMEM round trips on the (rows, 128) state were the dominant cost
+    (~18 us/step measured on v5e), not the model or renorm arithmetic.
     """
     rows = len_ref.shape[0]
     pid = pl.program_id(0)
@@ -291,39 +297,44 @@ def _pack_kernel(
         acc[:] = jnp.zeros((rows, LANES), jnp.int32)
         nb[:] = jnp.zeros((rows, LANES), jnp.int32)
         flag[:] = jnp.zeros((rows, LANES), jnp.int32)
-        cum[:] = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
+        # packed model: word w = cum[2w] | cum[2w+1] << 15 (init cum[i] = i)
+        w2 = jax.lax.broadcasted_iota(jnp.int32, (NSYM2, rows, LANES), 0) * 2
+        cum[:] = w2 | ((w2 + 1) << 15)
 
     # the staging buffer restarts empty every chunk
     stage[:] = jnp.zeros((STC, rows, LANES), jnp.int32)
-    swid[:] = jnp.zeros((rows, LANES), jnp.int32)
 
     n = len_ref[:]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (NSYM2, rows, LANES), 0)
     siota = jax.lax.broadcasted_iota(jnp.int32, (STC, rows, LANES), 0)
 
-    def body(s, _):
+    def body(s, carry):
+        lowv, highv, pendv, cntv, frz, accv, nbv, flagv, sidx = carry
         g = pid * CHUNK + s
         sym = sym_ref[s]
         active = g <= n
 
-        lowv, highv, pendv = low[:], high[:], pend[:]
-        cntv, frz = cnt[:], frozen[:]
         cumv = cum[:]
 
-        symb = sym[None, :, :]
-        sel = jnp.where(iota == symb, cumv, 0) + jnp.where(
-            iota == symb + 1, cumv << 15, 0
-        )
-        red = jnp.sum(sel, axis=0)
-        lower = red & 0x7FFF
-        upper = red >> 15
+        ws = (sym >> 1)[None, :, :]
+        even = (sym & 1) == 0
+        red0 = jnp.sum(jnp.where(iota2 == ws, cumv, 0), axis=0)
+        red1 = jnp.sum(jnp.where(iota2 == ws + 1, cumv, 0), axis=0)
+        lower = jnp.where(even, red0 & 0x7FFF, red0 >> 15)
+        upper = jnp.where(even, red0 >> 15, red1 & 0x7FFF)
         count = cntv
 
         upd = active & (frz == 0)
-        cum[:] = jnp.where((iota > symb) & upd[None], cumv + 1, cumv)
+        # +1 to every entry > sym: both halves of words past ws; only the
+        # high half of word ws itself (and only when sym is even)
+        incr = jnp.where(
+            iota2 > ws,
+            32769,
+            jnp.where(iota2 == ws, jnp.where(even, 32768, 0)[None], 0),
+        )
+        cum[:] = cumv + jnp.where(upd[None], incr, 0)
         newcnt = jnp.where(upd, cntv + 1, cntv)
-        cnt[:] = newcnt
-        frozen[:] = jnp.where(newcnt >= MAX_FREQ, 1, frz)
+        newfrz = jnp.where(newcnt >= MAX_FREQ, 1, frz)
 
         diff = highv - lowv + 1
         nh = jnp.where(active, lowv + (diff * upper) // count - 1, highv)
@@ -363,21 +374,14 @@ def _pack_kernel(
 
         # piece 1: first emitted bit + carried-pending run (~b0 x carried)
         w1 = jnp.where(has_emitted, 1 + carried, 0)
-        flag[:] = jnp.where(w1 > 32, 1, flag[:])
+        flagv = jnp.where(w1 > 32, 1, flagv)
         w1 = jnp.minimum(w1, 32)
         v1 = jnp.where(b0 == 1, _shl(jnp.int32(1), w1 - 1), _mask(w1 - 1))
 
-        accv, nbv = acc[:], nb[:]
         accv, nbv, word_a, ca = _append32(accv, nbv, v1, w1)
         accv, nbv, word_b, cb = _append32(accv, nbv, rest_pat, rest_len)
-        acc[:] = accv
-        nb[:] = nbv
-        low[:] = nl
-        high[:] = nh
-        pend[:] = pendv
 
         # dense in-chunk compaction: masked append of the completed words
-        sidx = swid[:]
         ca32 = ca.astype(jnp.int32)
         sa = sidx[None]
         stage[:] = jnp.where(
@@ -385,17 +389,29 @@ def _pack_kernel(
             word_a[None],
             jnp.where((siota == sa + ca32[None]) & cb[None], word_b[None], stage[:]),
         )
-        swid[:] = sidx + ca32 + cb.astype(jnp.int32)
-        return 0
+        sidx = sidx + ca32 + cb.astype(jnp.int32)
+        return (nl, nh, pendv, newcnt, newfrz, accv, nbv, flagv, sidx)
 
-    jax.lax.fori_loop(0, CHUNK, body, 0)
+    zero = jnp.zeros((rows, LANES), jnp.int32)
+    carry = (low[:], high[:], pend[:], cnt[:], frozen[:], acc[:], nb[:], flag[:], zero)
+    lowv, highv, pendv, cntv, frz, accv, nbv, flagv, sidx = jax.lax.fori_loop(
+        0, CHUNK, body, carry
+    )
+    low[:] = lowv
+    high[:] = highv
+    pend[:] = pendv
+    cnt[:] = cntv
+    frozen[:] = frz
+    acc[:] = accv
+    nb[:] = nbv
+    flagv = jnp.where(sidx > STC, 1, flagv)  # chunk staging overflow, sticky
+    flag[:] = flagv
 
     chunk_ref[0] = stage[:]
-    ccnt_ref[0] = swid[:]
-    flag[:] = jnp.where(swid[:] > STC, 1, flag[:])  # sticky across chunks
-    fin_ref[0] = acc[:]
-    fin_ref[1] = nb[:]
-    fin_ref[2] = flag[:]
+    ccnt_ref[0] = sidx
+    fin_ref[0] = accv
+    fin_ref[1] = nbv
+    fin_ref[2] = flagv
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -444,9 +460,8 @@ def encode_chunked_words(symbols: jax.Array, lengths: jax.Array, interpret: bool
             pltpu.VMEM((rows, LANES), jnp.int32),
             pltpu.VMEM((rows, LANES), jnp.int32),
             pltpu.VMEM((rows, LANES), jnp.int32),
-            pltpu.VMEM((NSYM, rows, LANES), jnp.int32),
+            pltpu.VMEM((NSYM2, rows, LANES), jnp.int32),
             pltpu.VMEM((STC, rows, LANES), jnp.int32),
-            pltpu.VMEM((rows, LANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -611,7 +626,7 @@ def _dec_kernel(words_ref, len_ref, out_ref, eof_ref, value, low, high, cnt, fro
     pid = pl.program_id(0)
     capw = words_ref.shape[0]
     jota = jax.lax.broadcasted_iota(jnp.int32, (capw, rows, LANES), 0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (NSYM2, rows, LANES), 0)
     n = len_ref[:]
 
     def refill(hiv, lov, av, wp):
@@ -638,7 +653,9 @@ def _dec_kernel(words_ref, len_ref, out_ref, eof_ref, value, low, high, cnt, fro
     def _init():
         cnt[:] = jnp.full((rows, LANES), 257, jnp.int32)
         frozen[:] = jnp.zeros((rows, LANES), jnp.int32)
-        cum[:] = jax.lax.broadcasted_iota(jnp.int32, (NSYM, rows, LANES), 0)
+        # packed model: word w = cum[2w] | cum[2w+1] << 15 (init cum[i] = i)
+        w2 = jax.lax.broadcasted_iota(jnp.int32, (NSYM2, rows, LANES), 0) * 2
+        cum[:] = w2 | ((w2 + 1) << 15)
         low[:] = jnp.zeros((rows, LANES), jnp.int32)
         high[:] = jnp.full((rows, LANES), MAX_CODE, jnp.int32)
         eof_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
@@ -661,39 +678,50 @@ def _dec_kernel(words_ref, len_ref, out_ref, eof_ref, value, low, high, cnt, fro
         avail[:] = a
         wptr[:] = w
 
-    def body(s, _):
+    def body(s, carry):
+        # per-block scalar state rides fori carries (registers); only the
+        # packed model and the word stream live in VMEM refs (see
+        # _pack_kernel: per-step ref round trips were the dominant cost)
+        val, lowv, highv, cntv, frz, hiv0, lov0, av0, wp0, eofv = carry
         g = pid * CHUNK + s
         active = g <= n
 
-        hiv, lov, av, wp = refill(hi[:], lo[:], avail[:], wptr[:])
+        hiv, lov, av, wp = refill(hiv0, lov0, av0, wp0)
 
-        lowv, highv, val = low[:], high[:], value[:]
-        cntv, frz, cumv = cnt[:], frozen[:], cum[:]
+        cumv = cum[:]
 
         diff = highv - lowv + 1
         scaled = ((val - lowv + 1) * cntv - 1) // diff
-        sym = jnp.sum(
-            ((iota >= 1) & (iota <= 257) & (cumv <= scaled[None])).astype(jnp.int32),
-            axis=0,
+        # count entries i in [1, 257] with cum[i] <= scaled, on packed words
+        # (entry 2w in the low half, 2w+1 in the high half; entry-index
+        # range masks are per-word constants)
+        sc = scaled[None]
+        cnt_lo = ((iota2 >= 1) & (iota2 <= 128) & ((cumv & 0x7FFF) <= sc)).astype(
+            jnp.int32
         )
+        cnt_hi = ((iota2 <= 128) & ((cumv >> 15) <= sc)).astype(jnp.int32)
+        sym = jnp.sum(cnt_lo + cnt_hi, axis=0)
         sym = jnp.minimum(sym, 256)
-        symb = sym[None]
-        sel = jnp.where(iota == symb, cumv, 0) + jnp.where(
-            iota == symb + 1, cumv << 15, 0
-        )
-        red = jnp.sum(sel, axis=0)
-        lower = red & 0x7FFF
-        upper = red >> 15
+        ws = (sym >> 1)[None]
+        even = (sym & 1) == 0
+        red0 = jnp.sum(jnp.where(iota2 == ws, cumv, 0), axis=0)
+        red1 = jnp.sum(jnp.where(iota2 == ws + 1, cumv, 0), axis=0)
+        lower = jnp.where(even, red0 & 0x7FFF, red0 >> 15)
+        upper = jnp.where(even, red0 >> 15, red1 & 0x7FFF)
         count = cntv
 
         upd = active & (frz == 0)
-        cum[:] = jnp.where((iota > symb) & upd[None], cumv + 1, cumv)
+        incr = jnp.where(
+            iota2 > ws,
+            32769,
+            jnp.where(iota2 == ws, jnp.where(even, 32768, 0)[None], 0),
+        )
+        cum[:] = cumv + jnp.where(upd[None], incr, 0)
         newcnt = jnp.where(upd, cntv + 1, cntv)
-        cnt[:] = newcnt
-        frozen[:] = jnp.where(newcnt >= MAX_FREQ, 1, frz)
+        newfrz = jnp.where(newcnt >= MAX_FREQ, 1, frz)
 
         is_eof = sym == EOF
-        eof_ref[:] = jnp.where(active & (g == n), is_eof.astype(jnp.int32), eof_ref[:])
+        eofv = jnp.where(active & (g == n), is_eof.astype(jnp.int32), eofv)
         act = active & ~is_eof
 
         nh = jnp.where(act, lowv + (diff * upper) // count - 1, highv)
@@ -716,16 +744,25 @@ def _dec_kernel(words_ref, len_ref, out_ref, eof_ref, value, low, high, cnt, fro
             done = done | ~cont
 
         out_ref[s] = jnp.where(active & ~is_eof, sym, 0)
-        value[:] = val
-        low[:] = nl
-        high[:] = nh
-        hi[:] = hiv
-        lo[:] = lov
-        avail[:] = av
-        wptr[:] = wp
-        return 0
+        return (val, nl, nh, newcnt, newfrz, hiv, lov, av, wp, eofv)
 
-    jax.lax.fori_loop(0, CHUNK, body, 0)
+    carry = (
+        value[:], low[:], high[:], cnt[:], frozen[:],
+        hi[:], lo[:], avail[:], wptr[:], eof_ref[:],
+    )
+    val, nl, nh, cntv, frz, hiv, lov, av, wp, eofv = jax.lax.fori_loop(
+        0, CHUNK, body, carry
+    )
+    value[:] = val
+    low[:] = nl
+    high[:] = nh
+    cnt[:] = cntv
+    frozen[:] = frz
+    hi[:] = hiv
+    lo[:] = lov
+    avail[:] = av
+    wptr[:] = wp
+    eof_ref[:] = eofv
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps", "interpret"))
@@ -762,7 +799,7 @@ def decode_words(words: jax.Array, out_lens: jax.Array, num_steps: int | None = 
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.int32)] * 9
-        + [pltpu.VMEM((NSYM, rows, LANES), jnp.int32)],
+        + [pltpu.VMEM((NSYM2, rows, LANES), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -4,13 +4,20 @@ The XLA commit (ops/lzss_jax.commit_blocks) finds committed positions by
 binary-lifted jump tables and emits bytes through a per-byte searchsorted —
 both gather-bound on TPU (~27 ns/element, 2.3 MB/s measured). This kernel
 replaces it with the commit pass the format actually specifies
-(lzss.go:134-151): a sequential greedy walk per block. One block per grid
-step; the walk reads the packed per-position match results from SMEM,
-advances ``i += max(L, 1)``, and appends output bytes (ASCII ``<D,L>``
-tokens when strictly shorter than the match, raw bytes otherwise) into a
-32-bit accumulator that is staged into an (8, 128) vector tile — no scatter
-or gather anywhere. ~50 scalar cycles per commit keeps the whole pass an
-order of magnitude faster than the per-byte gather emission.
+(lzss.go:134-151): a sequential greedy walk per block, engineered so the
+scalar core does almost nothing per committed position:
+
+- everything data-parallel is hoisted OUT of the walk into vectorized XLA
+  precomputes: the decimal digits of every position's D and L (packed as
+  nibbles, one int32 per position), their digit counts (packed into spare
+  bits of the LD word), and literal RUN lengths to the next match position
+  (a reverse cummin, overloaded into the D field where L <= 1, so a run of
+  k literals costs one iteration instead of k);
+- the walk itself is one two-way branch per commit: token commits expand
+  the precomputed nibbles to ASCII with shifts (no divisions) and append
+  <= 11 bytes as three word-pieces; literal/raw commits copy input words;
+- output goes straight to an SMEM word stream (plain scalar stores — no
+  vector tile staging, no scatter/gather anywhere).
 
 Byte-exactness vs formats.lzss_ref.commit_tokens is asserted in tests.
 """
@@ -21,100 +28,124 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raisin_tpu.ops import jax_setup  # noqa: F401
 
 LANES = 128
-LBITS = 13  # LD word: (L << 13) | D, both <= 4096
+LBITS = 13  # LD word: (ndl-1)<<28 | (ndd-1)<<26 | L<<13 | D
 
 
-def _commit_kernel(n_ref, ld_ref, xw_ref, tok_ref, len_ref, tile):
+def _commit_kernel(n_ref, ld_ref, dg_ref, xw_ref, tok_ref, len_ref):
     b = pl.program_id(0)
     n = n_ref[b]
-    capw = tok_ref.shape[1] * LANES
+    capw = tok_ref.shape[2]
 
-    Js = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-    )
+    def shl(v, k):
+        r = v << jnp.clip(k, 0, 31)
+        return jnp.where((k >= 32) | (k < 0), 0, r)
 
-    tile[:] = jnp.zeros((8, LANES), jnp.int32)
+    def shr(v, k):
+        u = v.astype(jnp.uint32) >> jnp.clip(k, 0, 31).astype(jnp.uint32)
+        return jnp.where((k >= 32) | (k < 0), 0, u.astype(jnp.int32))
 
-    def read_byte(idx):
-        word = xw_ref[0, 0, idx >> 2]
-        return (word >> ((idx & 3) * 8)) & 0xFF
+    def read_word(idx):
+        # 4 little-endian input bytes starting at byte offset idx
+        w0 = xw_ref[0, 0, idx >> 2]
+        w1 = xw_ref[0, 0, jnp.minimum((idx >> 2) + 1, xw_ref.shape[2] - 1)]
+        sh = (idx & 3) * 8
+        return shr(w0, sh) | shl(w1, 32 - sh)
 
-    def emit_byte(st, byte):
-        # st = (i, opos, acc); bytes pack little-endian into int32 words so
-        # the host can view the row buffer directly
-        i, opos, acc = st
-        acc = acc | (byte << ((opos & 3) * 8))
-        complete = (opos & 3) == 3
-        widx = opos >> 2
+    def emit_word(st, w, nb):
+        """Append nb (0..4) little-endian bytes of w (upper bytes of w MUST
+        be zero). st = (opos, acc)."""
+        opos, acc = st
+        k = opos & 3
+        acc = acc | shl(w, k * 8)
+        newpos = opos + nb
+        crossed = (newpos >> 2) != (opos >> 2)
 
-        @pl.when(complete)
+        @pl.when(crossed)
         def _store():
-            tile[:] = jnp.where(Js == (widx % 1024), acc, tile[:])
+            tok_ref[0, 0, jnp.minimum(opos >> 2, capw - 1)] = acc
 
-            @pl.when((widx + 1) % 1024 == 0)
-            def _flush():
-                row = jnp.minimum((widx + 1) // 1024 - 1, capw // 1024 - 1) * 8
-                tok_ref[0, pl.ds(row, 8), :] = tile[:]
-                tile[:] = jnp.zeros((8, LANES), jnp.int32)
+        acc = jnp.where(crossed, shr(w, (4 - k) * 8), acc)
+        return (newpos, acc)
 
-        return (i, opos + 1, jnp.where(complete, 0, acc))
+    def copy_bytes(st, src, count):
+        """Append count input bytes starting at byte offset src."""
 
-    def emit_digits(st, v, nd):
-        # most-significant first; D, L <= 4096 -> nd <= 4
-        for k in (4, 3, 2):
-            def mk(k):
-                def _dig(st_in):
-                    return emit_byte(st_in, (v // (10 ** (k - 1))) % 10 + 48)
-                return _dig
-            st = jax.lax.cond(nd >= k, mk(k), lambda s: s, st)
-        return emit_byte(st, v % 10 + 48)
+        def step(c):
+            st_in, s, rem = c
+            nb = jnp.minimum(rem, 4)
+            w = read_word(s) & jnp.where(nb >= 4, -1, (1 << (8 * nb)) - 1)
+            return (emit_word(st_in, w, nb), s + nb, rem - nb)
 
-    def ndigits(v):
-        return (
-            1
-            + (v >= 10).astype(jnp.int32)
-            + (v >= 100).astype(jnp.int32)
-            + (v >= 1000).astype(jnp.int32)
+        def cond(c):
+            return c[2] > 0
+
+        out, _, _ = jax.lax.while_loop(cond, step, (st, src, count))
+        return out
+
+    def spread(nib, nd):
+        # 4 digit nibbles (MSB digit in the low nibble) -> little-endian
+        # ASCII bytes, nd wide, upper bytes ZERO (emit_word contract)
+        w = (
+            (nib & 0xF)
+            | ((nib >> 4) & 0xF) << 8
+            | ((nib >> 8) & 0xF) << 16
+            | ((nib >> 12) & 0xF) << 24
         )
+        return w | shr(jnp.int32(0x30303030), (4 - nd) * 8)
 
     def body(st):
         i, opos, acc = st
         ld = ld_ref[0, 0, i]
-        L = ld >> LBITS
-        D = ld & ((1 << LBITS) - 1)
-        nd_d = ndigits(D)
-        nd_l = ndigits(L)
+        L = (ld >> LBITS) & 0x1FFF
+        D = ld & 0x1FFF  # literal-run length when L <= 1
+        nd_d = ((ld >> 26) & 3) + 1
+        nd_l = ((ld >> 28) & 3) + 1
         toklen = 3 + nd_d + nd_l
         use_tok = (L > 0) & (toklen < L)
 
-        def tok_path(st_in):
-            st1 = emit_byte(st_in, jnp.int32(60))  # '<'
-            st2 = emit_digits(st1, D, nd_d)
-            st3 = emit_byte(st2, jnp.int32(44))  # ','
-            st4 = emit_digits(st3, L, nd_l)
-            return emit_byte(st4, jnp.int32(62))  # '>'
+        def tok_path(es):
+            dg = dg_ref[0, 0, i]
+            wd = spread(dg, nd_d)  # D digits, low 16 nibbles
+            wl = spread(dg >> 16, nd_l)  # L digits
+            # token = '<' D-digits ',' (part A, nd_d+2 bytes) then
+            # L-digits '>' (part B, nd_l+1 bytes) at byte offset nd_d+2.
+            a_lo = 60 | shl(wd, 8) | shl(jnp.int32(44), (nd_d + 1) * 8)
+            a_hi = shr(wd, 24) | shl(jnp.int32(44), (nd_d - 3) * 8)  # bytes 4..5
+            b_lo = wl | shl(jnp.int32(62), nd_l * 8)
+            b_hi = shl(jnp.int32(62), (nd_l - 4) * 8)  # byte 4 ('>' when nd_l=4)
+            off = nd_d + 2
+            w0 = a_lo | shl(b_lo, off * 8)
+            w1 = (
+                a_hi
+                | shr(b_lo, (4 - off) * 8)
+                | shl(b_lo, (off - 4) * 8)
+                | shl(b_hi, off * 8)
+            )
+            w2 = shr(b_lo, (8 - off) * 8) | shl(b_hi, (off - 4) * 8)
+            es = emit_word(es, w0 & _bmask(jnp.minimum(toklen, 4)), jnp.minimum(toklen, 4))
+            nb2 = jnp.clip(toklen - 4, 0, 4)
+            es = emit_word(es, w1 & _bmask(nb2), nb2)
+            nb3 = jnp.clip(toklen - 8, 0, 3)
+            es = emit_word(es, w2 & _bmask(nb3), nb3)
+            return es
 
-        def raw_path(st_in):
-            # raw run: the literal byte, or the L matched bytes when the
-            # token is not strictly shorter (toklen >= L -> L <= 11)
-            c = jnp.maximum(L, 1)
+        def raw_path(es):
+            # literal run (L <= 1: D holds the run length) or the L matched
+            # bytes when the token is not strictly shorter (then L <= 11)
+            c = jnp.where(L <= 1, jnp.minimum(jnp.maximum(D, 1), n - i), L)
+            return copy_bytes(es, i, c)
 
-            def rb(k, s):
-                return emit_byte(s, read_byte(i + k))
-
-            return jax.lax.fori_loop(0, c, rb, st_in)
-
-        st = jax.lax.cond(use_tok, tok_path, raw_path, st)
-        i2, opos2, acc2 = st
-        return (i + jnp.maximum(L, 1), opos2, acc2)
+        es = jax.lax.cond(use_tok, tok_path, raw_path, (opos, acc))
+        consumed = jnp.where(
+            use_tok, L, jnp.where(L <= 1, jnp.minimum(jnp.maximum(D, 1), n - i), L)
+        )
+        return (i + consumed, es[0], es[1])
 
     def cond(st):
         return st[0] < n
@@ -123,21 +154,15 @@ def _commit_kernel(n_ref, ld_ref, xw_ref, tok_ref, len_ref, tile):
         cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     )
 
-    # tail: stage the partial word, flush the partial tile
-    widx = opos >> 2
-
     @pl.when((opos & 3) != 0)
     def _partial():
-        tile[:] = jnp.where(Js == (widx % 1024), acc, tile[:])
-
-    nwords = widx + jnp.where((opos & 3) != 0, 1, 0)
-    row = jnp.minimum(widx // 1024, capw // 1024 - 1) * 8
-
-    @pl.when((nwords % 1024 != 0) | ((opos & 3) != 0))
-    def _final_flush():
-        tok_ref[0, pl.ds(row, 8), :] = tile[:]
+        tok_ref[0, 0, jnp.minimum(opos >> 2, capw - 1)] = acc
 
     len_ref[0, 0, 0] = opos
+
+
+def _bmask(nb):
+    return jnp.where(nb >= 4, jnp.int32(-1), (jnp.int32(1) << (8 * nb)) - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -157,9 +182,35 @@ def commit_emit_blocks(
     B, S = x.shape
     if S % 1024 != 0:
         raise ValueError("S must be a multiple of 1024")
-    capw = max(1024, S // 4)
+    capw = S // 4  # references are only emitted when strictly shorter
 
-    ld = ((L << LBITS) | D).reshape(B, 1, S)
+    # literal-run lengths: distance to the next position with L > 1
+    # (committing any position in between emits exactly one literal byte);
+    # clamped to the 13-bit D field — the walk re-reads the run at the
+    # landing position, so a clamped run just commits in several hops.
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    nz = jnp.where(L > 1, pos, S)
+    next_nz = jax.lax.cummin(nz[:, ::-1], axis=1)[:, ::-1]
+    run = jnp.minimum(next_nz - pos, 4095)  # >= 1 on literal positions
+    Dp = jnp.where(L <= 1, run, D)
+
+    def _nd(v):
+        return (
+            (v >= 10).astype(jnp.int32)
+            + (v >= 100).astype(jnp.int32)
+            + (v >= 1000).astype(jnp.int32)
+        )
+
+    ld = (_nd(L) << 28) | (_nd(D) << 26) | (L << LBITS) | Dp
+
+    def _nibs(v, nd):
+        # decimal digits as nibbles, MSB digit in the LOW nibble, nd wide
+        d = jnp.stack([v // 1000, (v // 100) % 10, (v // 10) % 10, v % 10], -1)
+        w4 = jnp.sum(d << (jnp.arange(4, dtype=jnp.int32) * 4), axis=-1)
+        return (w4 >> ((3 - nd) * 4)).astype(jnp.int32)
+
+    dg = _nibs(D, _nd(D)) | (_nibs(L, _nd(L)) << 16)
+
     xb = jnp.where(x >= 0, x, 0).astype(jnp.uint32).reshape(B, S // 4, 4)
     shifts = jnp.array([0, 8, 16, 24], dtype=jnp.uint32)
     xw = jnp.sum(xb << shifts[None, None, :], axis=-1).astype(jnp.int32)
@@ -170,29 +221,30 @@ def commit_emit_blocks(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, S), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, S), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, S // 4), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, capw // LANES, LANES), lambda b, n: (b, 0, 0)),
+            pl.BlockSpec((1, 1, capw), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((8, LANES), jnp.int32)],
+        scratch_shapes=[],
     )
     tokw, tok_len = pl.pallas_call(
         _commit_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, capw // LANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, capw), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), ld, xw)
+    )(lengths.astype(jnp.int32), ld.reshape(B, 1, S), dg.reshape(B, 1, S), xw)
 
     # unpack words -> (B, S) byte stream for the arithmetic stage
-    tokw = tokw.reshape(B, capw)[:, : S // 4]
+    tokw = tokw.reshape(B, capw)
     sh = jnp.arange(4, dtype=jnp.int32) * 8
     tok = ((tokw[:, :, None] >> sh[None, None, :]) & 0xFF).reshape(B, S)
     return tok, tok_len.reshape(B)

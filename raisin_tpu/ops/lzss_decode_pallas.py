@@ -1,13 +1,27 @@
 """Pallas TPU kernel for LZSS token-stream decode (container fast path).
 
-One block per grid step: a sequential walk of the ASCII token stream
-(lzss.go:323's state machine, restricted to well-formed streams — the RSNB
-container only ever feeds it our own encoder's output). The decoded
-(still-escaped) stream is kept in an SMEM scratch so back-references read
-already-decoded bytes with plain scalar loads; every byte is simultaneously
-staged into an (8, 128) vector tile for the VMEM output rows. The final
-escape-decode layer (lzss.go:391) is vectorized host-side
+Sequential walk of the ASCII token stream (lzss.go:323's state machine,
+restricted to well-formed streams — the RSNB container only ever feeds it
+our own encoder's output), engineered like the commit kernel so the scalar
+core does almost nothing per token:
+
+- the ASCII parse is hoisted OUT of the walk: a fully-vectorized XLA
+  precompute finds every ``<D,L>`` token (digit runs composed with static
+  shifts — no gathers) and packs (toklen, L, D) into one int32 per stream
+  position; literal positions get the RUN length to the next '<' (reverse
+  cummin), so a run of k literals costs one iteration;
+- the walk is one two-way branch per commit: reference commits copy L
+  bytes from the already-decoded output (word-at-a-time shift merges —
+  D >= 6 for every emitted token, so sources always live in bytes the
+  eager accumulator store has already published), literal runs copy input
+  words;
+- output goes straight to an SMEM word stream (plain scalar stores).
+
+The final escape-decode layer (lzss.go:391) stays vectorized host-side
 (formats.lzss_ref.decode_opening_symbols_np).
+
+Assumes D and L <= 8191 (13 bits): the container feeds blocks <= 8192
+bytes to this path (parallel/blocks.py gates on it).
 """
 
 from __future__ import annotations
@@ -23,84 +37,81 @@ from raisin_tpu.ops import jax_setup  # noqa: F401
 
 LANES = 128
 OPENING = 60  # '<'
-CLOSING = 62  # '>'
-SEP = 44  # ','
 
 
-def _decode_kernel(n_ref, tw_ref, out_ref, olen_ref, tile, sout):
+def _decode_kernel(n_ref, side_ref, tw_ref, out_ref, olen_ref):
     b = pl.program_id(0)
     n = n_ref[b]
-    capw = out_ref.shape[1] * LANES  # output capacity in 32-bit words
+    capw = out_ref.shape[2]
     cap_bytes = capw * 4
 
-    Js = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-    )
-    tile[:] = jnp.zeros((8, LANES), jnp.int32)
+    def shl(v, k):
+        r = v << jnp.clip(k, 0, 31)
+        return jnp.where((k >= 32) | (k < 0), 0, r)
 
-    def read_tok(idx):
-        word = tw_ref[0, 0, idx >> 2]
-        return (word >> ((idx & 3) * 8)) & 0xFF
+    def shr(v, k):
+        u = v.astype(jnp.uint32) >> jnp.clip(k, 0, 31).astype(jnp.uint32)
+        return jnp.where((k >= 32) | (k < 0), 0, u.astype(jnp.int32))
 
-    def read_out(idx):
-        word = sout[idx >> 2]
-        return (word >> ((idx & 3) * 8)) & 0xFF
+    def read_src(ref, idx):
+        # 4 little-endian bytes starting at byte offset idx
+        w0 = ref[0, 0, jnp.minimum(idx >> 2, ref.shape[2] - 1)]
+        w1 = ref[0, 0, jnp.minimum((idx >> 2) + 1, ref.shape[2] - 1)]
+        sh = (idx & 3) * 8
+        return shr(w0, sh) | shl(w1, 32 - sh)
 
-    def emit(st, byte):
-        ip, opos, acc = st
-        acc = acc | (byte << ((opos & 3) * 8))
-        complete = (opos & 3) == 3
-        widx = opos >> 2
-        safe = jnp.minimum(widx, cap_bytes // 4 - 1)
-        sout[safe] = acc  # harmless rewrite until the word completes
+    def emit_word(st, w, nb):
+        """Append nb (0..4) little-endian bytes of w (upper bytes zero).
+        st = (opos, acc). The accumulator is stored EAGERLY so reference
+        copies can read bytes < opos straight from out_ref."""
+        opos, acc = st
+        k = opos & 3
+        acc = acc | shl(w, k * 8)
+        widx = jnp.minimum(opos >> 2, capw - 1)
+        out_ref[0, 0, widx] = acc
+        newpos = opos + nb
+        crossed = (newpos >> 2) != (opos >> 2)
+        acc = jnp.where(crossed, shr(w, (4 - k) * 8), acc)
 
-        @pl.when(complete)
+        @pl.when(crossed)
         def _store():
-            tile[:] = jnp.where(Js == (widx % 1024), acc, tile[:])
+            out_ref[0, 0, jnp.minimum(newpos >> 2, capw - 1)] = acc
 
-            @pl.when((widx + 1) % 1024 == 0)
-            def _flush():
-                row = jnp.minimum((widx + 1) // 1024 - 1, capw // 1024 - 1) * 8
-                out_ref[0, pl.ds(row, 8), :] = tile[:]
-                tile[:] = jnp.zeros((8, LANES), jnp.int32)
+        return (newpos, acc)
 
-        return (ip, opos + 1, jnp.where(complete, 0, acc))
+    def copy_stream(ref, st, src, count):
+        """Append count bytes read from ref starting at byte offset src."""
 
-    def parse_num(st, stop_byte):
+        def step(c):
+            st_in, s, rem = c
+            nb = jnp.minimum(rem, 4)
+            w = read_src(ref, s) & jnp.where(nb >= 4, -1, (1 << (8 * nb)) - 1)
+            return (emit_word(st_in, w, nb), s + nb, rem - nb)
+
         def cond(c):
-            ip = c[0][0]
-            return (ip < n) & (read_tok(ip) != stop_byte)
+            return c[2] > 0
 
-        def body(c):
-            st_in, v = c
-            ip = st_in[0]
-            d = read_tok(ip)
-            return (ip + 1, st_in[1], st_in[2]), v * 10 + (d - 48)
-
-        (st2, v) = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
-        return (st2[0] + 1, st2[1], st2[2]), v  # skip the stop byte
+        out, _, _ = jax.lax.while_loop(cond, step, (st, src, count))
+        return out
 
     def body(st):
         ip, opos, acc = st
-        byte = read_tok(ip)
+        v = side_ref[0, 0, ip]
 
-        def ref_path(st_in):
-            st1 = (st_in[0] + 1, st_in[1], st_in[2])  # skip '<'
-            st2, dist = parse_num(st1, jnp.int32(SEP))
-            st3, ln = parse_num(st2, jnp.int32(CLOSING))
-            src0 = jnp.maximum(st3[1] - dist, 0)
+        def ref_path(es):
+            L = (v >> 13) & 0x1FFF
+            D = v & 0x1FFF
+            return copy_stream(out_ref, es, es[0] - D, L)
 
-            def cp(k, s):
-                return emit(s, read_out(src0 + k))
+        def lit_path(es):
+            c = jnp.minimum(v & 0x1FFF, n - ip)
+            return copy_stream(tw_ref, es, ip, c)
 
-            return jax.lax.fori_loop(0, ln, cp, st3)
-
-        def lit_path(st_in):
-            st1 = emit(st_in, byte)
-            return (st1[0] + 1, st1[1], st1[2])
-
-        return jax.lax.cond(byte == OPENING, ref_path, lit_path, st)
+        es = jax.lax.cond(v < 0, ref_path, lit_path, (opos, acc))
+        consumed = jnp.where(
+            v < 0, (v >> 26) & 0x1F, jnp.minimum(v & 0x1FFF, n - ip)
+        )
+        return (ip + consumed, es[0], es[1])
 
     def cond(st):
         return (st[0] < n) & (st[1] < cap_bytes)
@@ -108,15 +119,6 @@ def _decode_kernel(n_ref, tw_ref, out_ref, olen_ref, tile, sout):
     ip, opos, acc = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     )
-
-    widx = opos >> 2
-
-    @pl.when((opos & 3) != 0)
-    def _partial():
-        tile[:] = jnp.where(Js == (widx % 1024), acc, tile[:])
-
-    row = jnp.minimum(widx // 1024, capw // 1024 - 1) * 8
-    out_ref[0, pl.ds(row, 8), :] = tile[:]
     olen_ref[0, 0, 0] = opos
 
 
@@ -137,37 +139,89 @@ def lzss_decode_blocks(
     B, S = tok.shape
     if cap_out % 4096 != 0:
         raise ValueError("cap_out must be a multiple of 4096")
+
+    t = tok.astype(jnp.int32)
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = pos < tok_len[:, None]
+    t = jnp.where(valid, t, 0)
+
+    def sh(a, k):
+        # a shifted left by k positions along the stream (reads a[i + k])
+        return jnp.pad(a, ((0, 0), (0, k)))[:, k : k + S]
+
+    # digit runs composed with static shifts: rl in 0..4, vK = value of the
+    # K-digit decimal starting at each position
+    isd = ((t >= 48) & (t <= 57)).astype(jnp.int32)
+    i2 = isd * sh(isd, 1)
+    i3 = i2 * sh(isd, 2)
+    i4 = i3 * sh(isd, 3)
+    rl = isd + i2 + i3 + i4
+    v1 = t - 48
+    v2 = v1 * 10 + sh(v1, 1)
+    v3 = v2 * 10 + sh(v1, 2)
+    v4 = v3 * 10 + sh(v1, 3)
+
+    def val(r, off):
+        # value of the r-digit run starting at position + off (r: array)
+        return jnp.where(
+            r == 1, sh(v1, off),
+            jnp.where(r == 2, sh(v2, off), jnp.where(r == 3, sh(v3, off), sh(v4, off))),
+        )
+
+    is_open = t == OPENING
+    rd = sh(rl, 1)  # D digit count (1..4 on well-formed tokens)
+    D = val(rd, 1)
+    # L digits start at offset rd + 2; resolve the dynamic offset by cases
+    L = jnp.zeros_like(t)
+    tl = jnp.zeros_like(t)
+    for k in (1, 2, 3, 4):
+        rlk = sh(rl, k + 2)
+        Lk = val(rlk, k + 2)
+        L = jnp.where(rd == k, Lk, L)
+        tl = jnp.where(rd == k, 3 + k + rlk, tl)
+    side_tok = (
+        jnp.int32(-1 << 31)
+        | (jnp.clip(tl, 0, 31) << 26)
+        | (jnp.clip(L, 0, 8191) << 13)
+        | jnp.clip(D, 0, 8191)
+    )
+    # literal runs: distance to the next '<' (clamped to the 13-bit field;
+    # the walk re-reads the run at the landing position)
+    nxt = jax.lax.cummin(
+        jnp.where(is_open & valid, pos, S)[:, ::-1], axis=1
+    )[:, ::-1]
+    run = jnp.clip(nxt - pos, 1, 4095)
+    side = jnp.where(is_open, side_tok, run)
+
     Sp = (S + 3) // 4 * 4
-    tokp = jnp.pad(tok.astype(jnp.uint32), ((0, 0), (0, Sp - S)))
-    sh = jnp.array([0, 8, 16, 24], dtype=jnp.uint32)
-    tw = jnp.sum(tokp.reshape(B, Sp // 4, 4) << sh[None, None, :], axis=-1)
+    tokp = jnp.pad(t.astype(jnp.uint32), ((0, 0), (0, Sp - S)))
+    shw = jnp.array([0, 8, 16, 24], dtype=jnp.uint32)
+    tw = jnp.sum(tokp.reshape(B, Sp // 4, 4) << shw[None, None, :], axis=-1)
     tw = tw.astype(jnp.int32).reshape(B, 1, Sp // 4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
+            pl.BlockSpec((1, 1, S), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, Sp // 4), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, cap_out // 4 // LANES, LANES), lambda b, n: (b, 0, 0)),
+            pl.BlockSpec((1, 1, cap_out // 4), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.SMEM((cap_out // 4,), jnp.int32),
-        ],
+        scratch_shapes=[],
     )
     rows, olen = pl.pallas_call(
         _decode_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, cap_out // 4 // LANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, cap_out // 4), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tok_len.astype(jnp.int32), tw)
+    )(tok_len.astype(jnp.int32), side.reshape(B, 1, S), tw)
     return rows.reshape(B, cap_out // 4), olen.reshape(B)

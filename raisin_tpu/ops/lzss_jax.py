@@ -48,44 +48,62 @@ MAX_TOKEN_LEN = 11  # "<dddd,dddd>"
 # Match search
 
 
-def _match_scan(xb, n, window: int, wl: int, d0):
-    """Per-position best match over the distance sub-range (d0, d0+wl].
+def _match_scan(xb, n, window: int, wl: int, d0, p0: int = 0, p1: int | None = None,
+                rl_init=None):
+    """Per-position best match over the distance sub-range (d0, d0+wl],
+    restricted to the position range [p0, p1).
 
     xb: (S,) int32 escaped bytes (-1 past n); window: full window size
     (pads the left sentinel region); wl: local distance count (static);
     d0: first distance minus one (0 for the full window; the tensor-parallel
-    shard offset otherwise — may be a traced value).
+    shard offset otherwise — may be a traced value). rl_init: forward-run
+    carry entering at position p1 (zeros when p1 is the block end).
 
-    Returns (L, D): the longest match using only distances in the sub-range
-    and its largest achieving distance. Combining shards is max over L then
-    max over D among shards achieving the global L (parallel.lzss_sharded).
+    Returns (L, D, rl_out): the longest match using only distances in the
+    sub-range, its largest achieving distance, and the run-length carry at
+    position p0 (for a continuation phase over lower positions). Combining
+    distance shards is max over L then max over D among shards achieving
+    the global L (parallel.lzss_sharded).
 
     Performance notes: run lengths are kept in a REVERSED-distance layout so
     every inner slice is static (no per-iteration reversals or dynamic
     slices), and the hot state is int16 (distances <= 4096) to double VPU
-    lane utilization.
+    lane utilization. The scan runs positions DESCENDING because the state
+    is the FORWARD run length fl[i, d] = eq(i, d) ? fl[i+1, d] + 1 : 0.
     """
     S = xb.shape[0]
-    num_steps = S // TILE
+    if p1 is None:
+        p1 = S
+    num_steps = (p1 - p0) // TILE
     x16 = xb.astype(jnp.int16)
-    # left-pad with sentinel so x[i-d] reads never match
-    xp = jnp.concatenate([jnp.full((window,), -2, dtype=jnp.int16), x16])
+    static_d0 = isinstance(d0, int) and d0 == 0
+    if static_d0:
+        # left-pad with sentinel so x[i-d] reads never match; keep only the
+        # [p0 - wl, p1) byte range this phase can touch
+        xp = jnp.concatenate([jnp.full((wl,), -2, dtype=jnp.int16), x16])
+        xp = jax.lax.slice_in_dim(xp, p0, p1 + wl)  # xp[k] = x[p0 - wl + k]
+        span = wl
+    else:
+        # traced distance offset (tensor-parallel shard): keep the full
+        # window span so the d0 shift can be applied with a dynamic slice
+        xp = jnp.concatenate([jnp.full((window,), -2, dtype=jnp.int16), x16])
+        xp = jax.lax.slice_in_dim(xp, p0, p1 + window)  # xp[k] = x[p0 - window + k]
+        span = window
     # reversed layout: lane j holds distance d = d0 + wl - j (descending)
     dvec = (jnp.int32(d0) + wl - jnp.arange(wl, dtype=jnp.int32)).astype(jnp.int16)
-    static_full = isinstance(d0, int) and d0 == 0 and wl == window
 
     def step(rl, t):
-        # t counts down: process positions [t*TILE, t*TILE+TILE) descending
+        # t counts down: process positions p0 + [t*TILE, t*TILE+TILE) desc.
         base = t * TILE
-        win = jax.lax.dynamic_slice(xp, (base,), (window + TILE,))
-        if static_full:
+        win = jax.lax.dynamic_slice(xp, (base,), (span + TILE,))
+        if static_d0:
             win2 = win
         else:
-            win2 = jax.lax.dynamic_slice(win, (window - d0 - wl,), (wl + TILE,))
+            win2 = jax.lax.dynamic_slice(win, (span - d0 - wl,), (wl + TILE,))
         outs_L = []
         outs_D = []
         for u in range(TILE - 1, -1, -1):
-            cur = win[window + u]
+            cur = win[span + u]
             prev = jax.lax.slice_in_dim(win2, u, u + wl)  # static slice
             eq = (prev == cur) & (cur >= 0)
             # clamp above the max useful value (window) to avoid int16 wrap
@@ -93,21 +111,25 @@ def _match_scan(xb, n, window: int, wl: int, d0):
             cap = jnp.minimum(rl, dvec)
             L = jnp.max(cap)
             D = jnp.max(jnp.where(cap >= L, dvec, jnp.int16(0)))
-            valid = (L > 0) & (base + u < n)
+            valid = (L > 0) & (p0 + base + u < n)
             outs_L.append(jnp.where(valid, L, jnp.int16(0)))
             outs_D.append(jnp.where(valid, D, jnp.int16(0)))
         # outs are for u = TILE-1 .. 0; flip to ascending position order
         return rl, (jnp.stack(outs_L[::-1]), jnp.stack(outs_D[::-1]))
 
-    rl0 = jnp.zeros((wl,), dtype=jnp.int16)
-    _, (Ls, Ds) = jax.lax.scan(
+    rl0 = jnp.zeros((wl,), dtype=jnp.int16) if rl_init is None else rl_init
+    rl_out, (Ls, Ds) = jax.lax.scan(
         step, rl0, jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
     )
     # scan emitted tiles in descending t order; restore ascending
     return (
-        Ls[::-1].reshape(S).astype(jnp.int32),
-        Ds[::-1].reshape(S).astype(jnp.int32),
+        Ls[::-1].reshape(p1 - p0).astype(jnp.int32),
+        Ds[::-1].reshape(p1 - p0).astype(jnp.int32),
+        rl_out,
     )
+
+
+MIN_PHASE = 512  # smallest phase window (diminishing returns below this)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "num_steps"))
@@ -122,9 +144,34 @@ def find_matches_blocks(x: jax.Array, lengths: jax.Array, window: int, num_steps
 
     Returns L, D: (B, S) int32 ((0, 0) where no match).
     """
+    B, S = x.shape
+
+    # descending phases with geometrically shrinking windows: positions in
+    # [p0, p1) can only match distances <= p1, so smaller windows suffice
+    # for the block prefix (exactness argument in _phase_bounds). The run
+    # carry crossing a phase boundary is the last wl_next lanes (distances
+    # 1..wl_next) of the reversed-layout state.
+    phases: list[tuple[int, int, int]] = []
+    p1 = S
+    while p1 > 0:
+        wl = min(window, max(MIN_PHASE, p1))
+        half = p1 // 2
+        lower_wl = min(window, max(MIN_PHASE, half))
+        p0 = half if (lower_wl < wl and half % TILE == 0) else 0
+        phases.append((p0, p1, wl))
+        p1 = p0
 
     def one_block(xb, n):
-        return _match_scan(xb, n, window, window, jnp.int32(0))
+        Ls: list[jax.Array] = []
+        Ds: list[jax.Array] = []
+        rl = None
+        for p0, p1_, wl in phases:
+            if rl is not None and rl.shape[0] != wl:
+                rl = rl[rl.shape[0] - wl :]  # distances 1..wl carry over
+            L, D, rl = _match_scan(xb, n, window, wl, jnp.int32(0), p0, p1_, rl)
+            Ls.append(L)
+            Ds.append(D)
+        return jnp.concatenate(Ls[::-1]), jnp.concatenate(Ds[::-1])
 
     return jax.vmap(one_block)(x, lengths)
 

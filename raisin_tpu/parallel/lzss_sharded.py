@@ -45,7 +45,8 @@ def sharded_pipeline_step(mesh, S: int, window: int = WINDOW):
         d0 = (m * wl).astype(jnp.int32)
 
         def one_block(xb, n):
-            return lzss_jax._match_scan(xb, n, window, wl, d0)
+            L, D, _rl = lzss_jax._match_scan(xb, n, window, wl, d0)
+            return L, D
 
         L_loc, D_loc = jax.vmap(one_block)(x, lengths)
         L = jax.lax.pmax(L_loc, "model")

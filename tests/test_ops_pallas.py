@@ -149,3 +149,64 @@ def test_fused_rows_pipeline_oracle_exact():
         want = compress_bytes(p, ["lzss", "arithmetic"])
         got = rows[i].tobytes()[: byte_lens[i]]
         assert got == want, f"block {i}: fused rows pipeline diverged"
+
+
+def test_pallas_arith_decode_rows_oracle_exact():
+    """Device arithmetic decode (Pallas lockstep) of oracle-encoded payloads."""
+    payloads = [p for p in _payload_matrix(512) if len(p) <= 472]
+    payloads.append(b"decode me " * 40)
+    enc = [arithmetic_ref.compress(p) for p in payloads]
+    B = 128
+    capb = (max(len(e) for e in enc) + 511) // 512 * 512
+    steps = max(128, (max(len(p) for p in payloads) + 1 + 127) // 128 * 128)
+    prows = np.zeros((B, capb), dtype=np.uint8)
+    blens = np.zeros(B, dtype=np.int32)
+    olens = np.zeros(B, dtype=np.int32)
+    for i, e in enumerate(enc):
+        prows[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+        blens[i] = len(e)
+        olens[i] = len(payloads[i])
+    syms, eof = ap.decode_rows(
+        jnp.asarray(prows), jnp.asarray(blens), jnp.asarray(olens),
+        num_steps=steps, interpret=True,
+    )
+    syms = np.asarray(syms)
+    eof = np.asarray(eof)
+    for i, p in enumerate(payloads):
+        assert bool(eof[i]), f"block {i}: EOF symbol not found"
+        assert syms[i, : len(p)].tobytes() == p, f"block {i}: decode diverged"
+
+
+def test_pallas_lzss_decode_blocks_oracle_exact():
+    """Device LZSS token decode vs the escape-encoded plaintext."""
+    from raisin_tpu.ops import lzss_decode_pallas as dp
+
+    rng = np.random.default_rng(3)
+    payloads = [
+        b"hello world, hello world, hello world!",
+        b"a" * 900,
+        (b"ab" * 300)[:577],
+        bytes(rng.integers(0, 8, 800, dtype=np.uint8) + 97),
+        VERSE * 3,
+        b"x",
+        b"",
+        b"<<<<,,,>>>>" * 10,  # escape-heavy plaintext
+    ]
+    encs = [lzss_ref.encode_opening_symbols(p) for p in payloads]
+    toks = [lzss_ref.commit_tokens(e, lzss_ref.find_matches(e, 4096)) for e in encs]
+    B = len(toks)
+    S = 1024
+    tok = np.zeros((B, S), dtype=np.int32)
+    tlens = np.zeros(B, dtype=np.int32)
+    for i, t in enumerate(toks):
+        tok[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+        tlens[i] = len(t)
+    rows, olens = dp.lzss_decode_blocks(
+        jnp.asarray(tok), jnp.asarray(tlens), cap_out=8192, interpret=True
+    )
+    rows = np.asarray(rows)
+    olens = np.asarray(olens)
+    for i, e in enumerate(encs):
+        got = rows[i].view(np.uint8) if rows[i].dtype != np.uint8 else rows[i]
+        got = rows[i].tobytes()[: olens[i]]
+        assert got == e, f"block {i}: token decode diverged from escaped plaintext"
