@@ -92,6 +92,8 @@ def _match_scan(xb, n, window: int, wl: int, d0, p0: int = 0, p1: int | None = N
     # reversed layout: lane j holds distance d = d0 + wl - j (descending)
     dvec = (jnp.int32(d0) + wl - jnp.arange(wl, dtype=jnp.int32)).astype(jnp.int16)
 
+    dvec32 = (jnp.int32(d0) + wl - jnp.arange(wl, dtype=jnp.int32))
+
     def step(rl, t):
         # t counts down: process positions p0 + [t*TILE, t*TILE+TILE) desc.
         base = t * TILE
@@ -100,22 +102,32 @@ def _match_scan(xb, n, window: int, wl: int, d0, p0: int = 0, p1: int | None = N
             win2 = win
         else:
             win2 = jax.lax.dynamic_slice(win, (span - d0 - wl,), (wl + TILE,))
-        outs_L = []
-        outs_D = []
+        # run-length updates are the only sequential dependency; the per-
+        # position (L, D) reductions are deferred and batched into ONE
+        # (TILE, wl) packed max so the expensive cross-lane reduce runs once
+        # per scan step instead of twice per position
+        caps = []
         for u in range(TILE - 1, -1, -1):
             cur = win[span + u]
             prev = jax.lax.slice_in_dim(win2, u, u + wl)  # static slice
             eq = (prev == cur) & (cur >= 0)
-            # clamp above the max useful value (window) to avoid int16 wrap
-            rl = jnp.where(eq, jnp.minimum(rl + jnp.int16(1), jnp.int16(8192)), jnp.int16(0))
-            cap = jnp.minimum(rl, dvec)
-            L = jnp.max(cap)
-            D = jnp.max(jnp.where(cap >= L, dvec, jnp.int16(0)))
-            valid = (L > 0) & (p0 + base + u < n)
-            outs_L.append(jnp.where(valid, L, jnp.int16(0)))
-            outs_D.append(jnp.where(valid, D, jnp.int16(0)))
-        # outs are for u = TILE-1 .. 0; flip to ascending position order
-        return rl, (jnp.stack(outs_L[::-1]), jnp.stack(outs_D[::-1]))
+            rl = jnp.where(eq, rl + jnp.int16(1), jnp.int16(0))
+            caps.append(jnp.minimum(rl, dvec))
+        # one clamp per step (not per position) keeps rl well below int16
+        # wrap: rl <= 8192 + TILE and cap = min(rl, dvec <= 4096) is exact
+        rl = jnp.minimum(rl, jnp.int16(8192))
+        # key packs (cap, d): max gives the longest match, ties broken by
+        # the LARGEST distance = leftmost occurrence (bytes.Index semantics)
+        key = jnp.stack(caps[::-1]).astype(jnp.int32) << 13 | dvec32[None, :]
+        best = jnp.max(key, axis=1)  # (TILE,)
+        L = best >> 13
+        D = best & 0x1FFF
+        posv = p0 + base + jnp.arange(TILE, dtype=jnp.int32)
+        valid = (L > 0) & (posv < n)
+        return rl, (
+            jnp.where(valid, L, 0).astype(jnp.int16),
+            jnp.where(valid, D, 0).astype(jnp.int16),
+        )
 
     rl0 = jnp.zeros((wl,), dtype=jnp.int16) if rl_init is None else rl_init
     rl_out, (Ls, Ds) = jax.lax.scan(

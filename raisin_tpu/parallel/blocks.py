@@ -169,8 +169,29 @@ def _cap_bytes(total_in: int, nblocks: int) -> int:
 
 
 def _escaped_blocks(blocks: list[bytes], mesh, align: int = 1):
+    nb = len(blocks)
+    B = _pad_block_count(nb, mesh, align=align)
+    # fast path: the escape pre-pass is per-byte, so when no byte EXPANDS
+    # (no 0x5C / 0xFF in the input) the whole-buffer escape equals the
+    # per-block escape and the (B, S) matrix is a single reshape — no
+    # per-block Python loop, no per-block bytes objects
+    bs = len(blocks[0]) if nb else 0
+    if bs > 0 and all(len(b) == bs for b in blocks[:-1]):
+        arr = np.frombuffer(b"".join(blocks), dtype=np.uint8)
+        if not ((arr == 0x5C) | (arr == 0xFF)).any():
+            S = _bucket(bs, base=1024)
+            esc = np.where(arr == 0x3C, np.uint8(0xFF), arr)
+            x = np.zeros((B, S), dtype=np.uint8)
+            full = arr.size // bs
+            x[:full, :bs] = esc[: full * bs].reshape(full, bs)
+            if arr.size % bs:
+                x[full, : arr.size % bs] = esc[full * bs :]
+            lengths = np.zeros(B, dtype=np.int32)
+            lengths[:full] = bs
+            if arr.size % bs:
+                lengths[full] = arr.size % bs
+            return x, lengths, S
     encs = [encode_opening_symbols(b) for b in blocks]
-    B = _pad_block_count(len(blocks), mesh, align=align)
     S = _bucket(max((len(e) for e in encs), default=1), base=1024)
     x = np.zeros((B, S), dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
