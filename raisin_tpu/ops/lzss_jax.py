@@ -114,14 +114,17 @@ def _match_scan(xb, n, window: int, wl: int, d0, p0: int = 0, p1: int | None = N
             rl = jnp.where(eq, rl + jnp.int16(1), jnp.int16(0))
             caps.append(jnp.minimum(rl, dvec))
         # one clamp per step (not per position) keeps rl well below int16
-        # wrap: rl <= 8192 + TILE and cap = min(rl, dvec <= 4096) is exact
+        # wrap: rl <= 8192 + TILE and cap = min(rl, dvec <= window <= 8192)
+        # is exact (dvec can reach the full ``window`` via the public
+        # window_size parameter, not just the 4096 default)
         rl = jnp.minimum(rl, jnp.int16(8192))
-        # key packs (cap, d): max gives the longest match, ties broken by
-        # the LARGEST distance = leftmost occurrence (bytes.Index semantics)
-        key = jnp.stack(caps[::-1]).astype(jnp.int32) << 13 | dvec32[None, :]
+        # key packs (cap, d) in 14-bit fields (d <= 8192 needs 14 bits):
+        # max gives the longest match, ties broken by the LARGEST distance
+        # = leftmost occurrence (bytes.Index semantics)
+        key = jnp.stack(caps[::-1]).astype(jnp.int32) << 14 | dvec32[None, :]
         best = jnp.max(key, axis=1)  # (TILE,)
-        L = best >> 13
-        D = best & 0x1FFF
+        L = best >> 14
+        D = best & 0x3FFF
         posv = p0 + base + jnp.arange(TILE, dtype=jnp.int32)
         valid = (L > 0) & (posv < n)
         return rl, (

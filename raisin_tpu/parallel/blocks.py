@@ -176,7 +176,7 @@ def _escaped_blocks(blocks: list[bytes], mesh, align: int = 1):
     # per-block escape and the (B, S) matrix is a single reshape — no
     # per-block Python loop, no per-block bytes objects
     bs = len(blocks[0]) if nb else 0
-    if bs > 0 and all(len(b) == bs for b in blocks[:-1]):
+    if bs > 0 and all(len(b) == bs for b in blocks[:-1]) and len(blocks[-1]) <= bs:
         arr = np.frombuffer(b"".join(blocks), dtype=np.uint8)
         if not ((arr == 0x5C) | (arr == 0xFF)).any():
             S = _bucket(bs, base=1024)

@@ -37,6 +37,21 @@ def test_window_parameter():
         assert dev.compress(data, window_size=w) == ref.compress(data, window_size=w)
 
 
+def test_window_8192_match_at_max_distance():
+    # a real match at distance exactly 8192 exercises the 14-bit distance
+    # field in the packed (cap, d) reduction key (ADVICE r3: 13 bits lost
+    # bit 13 of d into L, emitting <0,..> and corrupting the stream)
+    chunk = b"0123456789unique-pattern-here!!"
+    # escape-safe filler (no 0x3C/0x5C/0xFF) so escaped length == raw length
+    # and no lowercase, so the chunk's only window occurrence is at d=8192
+    filler = bytes(0x20 + (i * 7 + 1) % 0x1A for i in range(8192 - len(chunk)))
+    data = chunk + filler + chunk + filler[:512]
+    got = dev.compress(data, window_size=8192)
+    want = ref.compress(data, window_size=8192)
+    assert got == want
+    assert ref.decompress(got) == data
+
+
 def test_find_matches_blocks_values():
     # "abcXabcYabc": pos 8 matches "abc" at leftmost occurrence (D=8, L=3)
     data = b"abcXabcYabc"
