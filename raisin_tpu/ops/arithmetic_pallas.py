@@ -470,54 +470,39 @@ def encode_chunked_words(symbols: jax.Array, lengths: jax.Array, interpret: bool
     )(symbols, lengths)
 
 
-def _stitch_kernel(cnt_ref, chunks_ref, out_ref, tile, st):
+def _stitch_kernel(cnt_ref, chunks_ref, out_ref):
     """Concatenate per-chunk dense word lists into contiguous block rows.
 
-    One block per grid step; visits one WORD per emitted word (not one per
-    symbol step). No bit shifting here — the `.rsn` prepad alignment and
-    byte swap are a fully-vectorized XLA epilogue (see encode_rows).
+    One block per grid step; the output lives in SMEM so each emitted word
+    is ONE scalar store (the VMEM-tile staging of v1 cost ~84 cycles/word).
+    Visits one word per emitted word, two at a time. No bit shifting here —
+    the `.rsn` prepad alignment and byte swap are a fully-vectorized XLA
+    epilogue (see encode_rows). Trailing garbage past the final word is
+    cleared for exactly one slot (the epilogue injects the final partial
+    word there and requires a zero read-back).
     """
     C, STCL = chunks_ref.shape[1], chunks_ref.shape[2]
-    capw = out_ref.shape[1] * LANES
+    capw = out_ref.shape[2]
 
-    Js = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-    )
-    tile[:] = jnp.zeros((8, LANES), jnp.int32)
-    st[0] = 0  # widx
-
-    def emit(w):
-        widx = st[0]
-        tile[:] = jnp.where(Js == (widx % 1024), w, tile[:])
-        st[0] = widx + 1
-
-        @pl.when((widx + 1) % 1024 == 0)
-        def _flush():
-            row = jnp.minimum((widx + 1) // 1024 - 1, capw // 1024 - 1) * 8
-            out_ref[0, pl.ds(row, 8), :] = tile[:]
-            tile[:] = jnp.zeros((8, LANES), jnp.int32)
-
-    def chunk_body(c, _):
+    def chunk_body(c, widx):
         m = jnp.minimum(cnt_ref[0, 0, c], STCL)
 
-        def word_body(k, _):
-            emit(chunks_ref[0, c, k])
+        def pair_body(k, _):
+            out_ref[0, 0, jnp.minimum(widx + 2 * k, capw - 1)] = chunks_ref[0, c, 2 * k]
+
+            @pl.when(2 * k + 1 < m)
+            def _odd():
+                out_ref[0, 0, jnp.minimum(widx + 2 * k + 1, capw - 1)] = chunks_ref[
+                    0, c, 2 * k + 1
+                ]
+
             return 0
 
-        jax.lax.fori_loop(0, m, word_body, 0)
-        return 0
+        jax.lax.fori_loop(0, (m + 1) // 2, pair_body, 0)
+        return widx + m
 
-    jax.lax.fori_loop(0, C, chunk_body, 0)
-
-    # Always write the tile holding position widx (zeros past the data):
-    # the epilogue injects the final partial word at raw[widx], which must
-    # read back 0. Skipped only on capacity overflow (caller retries).
-    widx = st[0]
-
-    @pl.when(widx < capw)
-    def _final_flush():
-        out_ref[0, pl.ds((widx // 1024) * 8, 8), :] = tile[:]
+    widx = jax.lax.fori_loop(0, C, chunk_body, jnp.int32(0))
+    out_ref[0, 0, jnp.minimum(widx, capw - 1)] = 0
 
 
 @functools.partial(jax.jit, static_argnames=("capw", "interpret"))
@@ -535,12 +520,8 @@ def stitch_words(
             pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C, stc), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, capw // LANES, LANES), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, capw // LANES, LANES), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((1, 1, capw), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, capw), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -549,36 +530,14 @@ def stitch_words(
     return out.reshape(B, capw)
 
 
-@functools.partial(jax.jit, static_argnames=("capw", "interpret"))
-def encode_rows(
-    symbols: jax.Array, lengths: jax.Array, capw: int, interpret: bool = False
-):
-    """Fully-fused device arithmetic encode: blocks in, `.rsn` byte rows out.
+def _assemble_rows(chunks, ccnts, fin, B: int, capw: int, interpret: bool):
+    """Chunk-dense kernel outputs -> (rows, byte_lens, oflow).
 
-    Args:
-      symbols: (B, S) int32, EOF (256) at position ``lengths[b]``; B % 128
-        == 0, S % CHUNK == 0.
-      lengths: (B,) int32.
-      capw: static per-block output capacity in 32-bit words (multiple of
-        1024). Caller retries with a larger bucket when byte_lens exceeds
-        capw * 4 (output rows are clamped, never out of bounds).
-
-    Returns:
-      rows: (B, capw) int32 — per-block `.rsn` stream; view the row's
-        little-endian bytes directly as the stream bytes.
-      byte_lens: (B,) int32.
-      oflow: (B,) int32 — sticky flag for blocks whose carried-pending run
-        exceeded one 32-bit append or whose chunk staging overflowed
-        (re-encode those on the host oracle).
-    """
-    B, S = symbols.shape
-    rows = B // LANES
-    sy = symbols.reshape(rows, LANES, S).transpose(2, 0, 1)
-    ln = lengths.reshape(rows, LANES)
-    chunks, ccnts, fin = encode_chunked_words(sy, ln, interpret=interpret)
-    G = S // CHUNK
-    chunks_b = chunks.transpose(2, 3, 0, 1).reshape(B, G, STC)
-    cnts_b = ccnts.transpose(1, 2, 0).reshape(B, G)
+    The lane-major -> block-major reshuffles are phrased as plain 2D
+    transposes (the 4D transpose lowers ~7x slower on TPU XLA)."""
+    G = chunks.shape[0]
+    chunks_b = chunks.reshape(G * STC, B).T.reshape(B, G, STC)
+    cnts_b = ccnts.reshape(G, B).T.reshape(B, G)
     fin_b = fin.reshape(3, B)
     facc, fnb, oflow = fin_b[0], fin_b[1], fin_b[2]
     nwords = jnp.sum(cnts_b, axis=1)
@@ -606,6 +565,73 @@ def encode_rows(
     ).astype(jnp.int32)
     byte_lens = (pad + total_bits) // 8
     return sw, byte_lens, oflow
+
+
+@functools.partial(jax.jit, static_argnames=("capw", "interpret"))
+def encode_rows(
+    symbols: jax.Array, lengths: jax.Array, capw: int, interpret: bool = False
+):
+    """Fully-fused device arithmetic encode: blocks in, `.rsn` byte rows out.
+
+    Args:
+      symbols: (B, S) int32, EOF (256) at position ``lengths[b]``; B % 128
+        == 0, S % CHUNK == 0. rows = B // 128 should stay <= 32 (VMEM).
+      lengths: (B,) int32.
+      capw: static per-block output capacity in 32-bit words (multiple of
+        1024). Caller retries with a larger bucket when byte_lens exceeds
+        capw * 4 (output rows are clamped, never out of bounds).
+
+    Returns:
+      rows: (B, capw) int32 — per-block `.rsn` stream; view the row's
+        little-endian bytes directly as the stream bytes.
+      byte_lens: (B,) int32.
+      oflow: (B,) int32 — sticky flag for blocks whose carried-pending run
+        exceeded one 32-bit append or whose chunk staging overflowed
+        (re-encode those on the host oracle).
+    """
+    B, S = symbols.shape
+    rows = B // LANES
+    sy = symbols.T.reshape(S, rows, LANES)
+    ln = lengths.reshape(rows, LANES)
+    chunks, ccnts, fin = encode_chunked_words(sy, ln, interpret=interpret)
+    return _assemble_rows(chunks, ccnts, fin, B, capw, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "capw", "interpret"))
+def encode_rows_from_words(
+    tokw: jax.Array,
+    lengths: jax.Array,
+    steps: int,
+    capw: int,
+    interpret: bool = False,
+):
+    """Arithmetic encode taking the symbol stream as PACKED 32-bit words.
+
+    Saves 4x on the lane-major transpose vs encode_rows: the (B, Sw)
+    little-endian word matrix is transposed as-is and unpacked on the far
+    side; the EOF symbol (256) is injected at position ``lengths[b]``
+    (word-packed payloads cannot carry 9-bit symbols).
+
+    Args:
+      tokw: (B, Sw) int32, 4 little-endian payload bytes per word.
+      lengths: (B,) int32 payload symbol counts (< 4 * Sw).
+      steps: static scan length, multiple of CHUNK, 4 * Sw >= steps >
+        max(lengths).
+    """
+    B, Sw = tokw.shape
+    rows = B // LANES
+    if steps % CHUNK != 0 or steps > 4 * Sw:
+        raise ValueError("steps must be a CHUNK multiple <= 4 * Sw")
+    wt = tokw.T.reshape(Sw, rows, LANES)
+    # unpack 4 bytes per word along the step axis
+    b4 = jnp.stack(
+        [(wt >> (8 * k)) & 0xFF for k in range(4)], axis=1
+    ).reshape(4 * Sw, rows, LANES)[:steps]
+    ln = lengths.reshape(rows, LANES)
+    giota = jax.lax.broadcasted_iota(jnp.int32, (steps, rows, LANES), 0)
+    sy = jnp.where(giota == ln[None], EOF, b4)
+    chunks, ccnts, fin = encode_chunked_words(sy, ln, interpret=interpret)
+    return _assemble_rows(chunks, ccnts, fin, B, capw, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -823,6 +849,8 @@ def decode_rows(
     B, capb = payload_rows.shape
     rows = B // LANES
     capw = capb // 4
+    if num_steps % 4 != 0:
+        raise ValueError("num_steps must be a multiple of 4")
     # big-endian 32-bit words: bit 31 of word j = stream bit 32j
     w4 = payload_rows.reshape(B, capw, 4).astype(jnp.uint32)
     sh = jnp.array([24, 16, 8, 0], dtype=jnp.uint32)
@@ -832,10 +860,16 @@ def decode_rows(
     j = jnp.arange(capw, dtype=jnp.int32)[None, :]
     mask = (jnp.int32(1) << (31 - (tail_bit % 32)))[:, None]
     words = jnp.where(j == (tail_bit // 32)[:, None], words | mask, words)
-    wt = words.reshape(rows, LANES, capw).transpose(2, 0, 1)
+    # lane-major reshuffles as 2D transposes (4D transposes lower ~7x slower),
+    # with the output packed 4 decoded bytes per word before transposing back
+    wt = words.T.reshape(capw, rows, LANES)
     ol = out_lens.reshape(rows, LANES)
     syms, eof = decode_words(wt, ol, num_steps=num_steps, interpret=interpret)
-    syms_b = syms.transpose(1, 2, 0).reshape(B, num_steps).astype(jnp.uint8)
+    s4 = syms.reshape(num_steps // 4, 4, rows, LANES)
+    packed = (
+        s4[:, 0] | (s4[:, 1] << 8) | (s4[:, 2] << 16) | (s4[:, 3] << 24)
+    ).reshape(num_steps // 4, B)
+    syms_b = jax.lax.bitcast_convert_type(packed.T, jnp.uint8).reshape(B, num_steps)
     return syms_b, eof.reshape(B)
 
 

@@ -166,7 +166,7 @@ def _bmask(nb):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def commit_emit_blocks(
+def commit_emit_words(
     x: jax.Array, L: jax.Array, D: jax.Array, lengths: jax.Array, interpret: bool = False
 ):
     """Sequential commit + ASCII token emission for B blocks on device.
@@ -176,8 +176,9 @@ def commit_emit_blocks(
       L, D: (B, S) int32 per-position match results (ops/lzss_jax semantics).
       lengths: (B,) int32.
 
-    Returns (tok (B, S) int32 token bytes zero-filled past lengths,
-    tok_len (B,) int32). S must be a multiple of 1024.
+    Returns (tokw (B, S // 4) int32 — 4 little-endian token bytes per word,
+    content past ``tok_len`` bytes undefined — and tok_len (B,) int32).
+    S must be a multiple of 1024.
     """
     B, S = x.shape
     if S % 1024 != 0:
@@ -242,9 +243,19 @@ def commit_emit_blocks(
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), ld.reshape(B, 1, S), dg.reshape(B, 1, S), xw)
+    return tokw.reshape(B, capw), tok_len.reshape(B)
 
-    # unpack words -> (B, S) byte stream for the arithmetic stage
-    tokw = tokw.reshape(B, capw)
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def commit_emit_blocks(
+    x: jax.Array, L: jax.Array, D: jax.Array, lengths: jax.Array, interpret: bool = False
+):
+    """commit_emit_words with the words unpacked to a (B, S) byte stream
+    (zero-filled past ``tok_len``)."""
+    B, S = x.shape
+    tokw, tok_len = commit_emit_words(x, L, D, lengths, interpret=interpret)
     sh = jnp.arange(4, dtype=jnp.int32) * 8
     tok = ((tokw[:, :, None] >> sh[None, None, :]) & 0xFF).reshape(B, S)
-    return tok, tok_len.reshape(B)
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    tok = jnp.where(pos < tok_len[:, None], tok, 0)
+    return tok, tok_len

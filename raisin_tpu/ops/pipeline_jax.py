@@ -93,12 +93,12 @@ def lzss_arith_encode_rows(
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]
     xi = jnp.where(pos < lengths[:, None], x.astype(jnp.int32), -1)
     L, D = _matches(xi, lengths, window, use_pallas_match)
-    tok, tok_len = lzss_commit_pallas.commit_emit_blocks(xi, L, D, lengths)
+    tokw, tok_len = lzss_commit_pallas.commit_emit_words(xi, L, D, lengths)
     steps = (S + 8 + 511) // 512 * 512
-    posn = jnp.arange(steps, dtype=jnp.int32)[None, :]
-    tokp = jnp.pad(tok, ((0, 0), (0, steps - S)))
-    symbols = jnp.where(posn < tok_len[:, None], tokp, arithmetic_scan.EOF)
-    rows, byte_lens, oflow = arithmetic_pallas.encode_rows(symbols, tok_len, capw)
+    tokwp = jnp.pad(tokw, ((0, 0), (0, steps // 4 - S // 4)))
+    rows, byte_lens, oflow = arithmetic_pallas.encode_rows_from_words(
+        tokwp, tok_len, steps, capw
+    )
     return rows, byte_lens, tok_len, oflow
 
 

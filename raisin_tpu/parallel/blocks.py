@@ -26,6 +26,7 @@ needs the symbol count up front.
 
 from __future__ import annotations
 
+import concurrent.futures
 import struct
 
 import functools
@@ -42,6 +43,54 @@ VERSION = 1
 DEFAULT_BLOCK_SIZE = 1 << 16
 
 _DEVICE_PIPELINES = (("arithmetic",), ("lzss",), ("lzss", "arithmetic"))
+
+# Single-chip batch sizes: the Pallas coder state scales with rows = B/128
+# (VMEM-bound). Encode fits 32 rows; decode keeps the payload word stream
+# VMEM-resident, capping it at 16 rows.
+ENC_MAXB = 4096
+DEC_MAXB = 2048
+
+_POOL = None
+
+
+def _pool() -> concurrent.futures.ThreadPoolExecutor:
+    global _POOL
+    if _POOL is None:
+        _POOL = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+    return _POOL
+
+
+def _device_put_big(x: np.ndarray) -> jax.Array:
+    """device_put with the transfer split across 4 threads.
+
+    The tunneled host->TPU link runs ~35 MB/s per stream but ~2x that with
+    parallel streams (streams form per issuing thread); the shards are
+    re-joined by an on-device concatenate (HBM-speed).
+    """
+    if x.nbytes < (8 << 20):
+        return jax.device_put(x)
+    n = 4
+    rows = x.shape[0]
+    step = (rows + n - 1) // n
+    parts = list(
+        _pool().map(jax.device_put, [x[i : i + step] for i in range(0, rows, step)])
+    )
+    import jax.numpy as jnp
+
+    return jnp.concatenate(parts, axis=0)
+
+
+def _asarray_big(a) -> np.ndarray:
+    """np.asarray with the device->host transfer split across 4 threads."""
+    if a.ndim < 1 or a.size * a.dtype.itemsize < (8 << 20):
+        return np.asarray(a)
+    n = 4
+    rows = a.shape[0]
+    step = (rows + n - 1) // n
+    parts = list(
+        _pool().map(lambda s: np.asarray(a[s : s + step]), range(0, rows, step))
+    )
+    return np.concatenate(parts, axis=0)
 
 
 def _bucket(n: int, base: int = 1024) -> int:
@@ -212,17 +261,77 @@ def _rows_payloads(rows_dev, byte_lens: np.ndarray, count: int) -> list[bytes]:
     only the prefix of columns that any block actually uses."""
     need_w = int((int(byte_lens.max()) + 3) // 4 + 1)
     need_w = min(((need_w + 127) // 128) * 128, rows_dev.shape[1])
-    rows_np = np.asarray(rows_dev[:, :need_w])
+    rows_np = _asarray_big(rows_dev[:, :need_w])
     return [rows_np[i].tobytes()[: byte_lens[i]] for i in range(count)]
+
+
+def _enc_batch_finish(blocks, rows, byte_lens, tok_lens, oflow, capw, retry_fn):
+    byte_lens = np.asarray(byte_lens)
+    if int(byte_lens.max()) > capw * 4:
+        return retry_fn()
+    payloads = _rows_payloads(rows, byte_lens, len(blocks))
+    tok_lens = np.asarray(tok_lens)
+    oflow = np.asarray(oflow)
+    if oflow[: len(blocks)].any():
+        # carried-pending overflow (needs a >31-bit straddle run): re-encode
+        # those blocks on the byte-exact host oracle
+        from raisin_tpu.engine.core import compress_bytes
+
+        for i in np.nonzero(oflow[: len(blocks)])[0]:
+            payloads[i] = compress_bytes(blocks[i], ["lzss", "arithmetic"])
+    return payloads, [int(t) for t in tok_lens[: len(blocks)]]
 
 
 def _encode_lzss_arith_rows(blocks: list[bytes], mesh):
     """TPU fast path: fused match+commit+arithmetic with in-kernel packing.
 
-    Batches of <= 1024 blocks per kernel call (the encoder keeps the model
-    of 128 blocks per vector-register lane group in VMEM); all batches are
-    dispatched before any result is awaited, so they pipeline on device.
+    Single-chip, batches of <= ENC_MAXB blocks per kernel call (the Pallas
+    coder keeps all per-block state in VMEM; 32 sublane rows fit). Every
+    batch's host->device transfer and kernel are dispatched asynchronously
+    BEFORE any result is awaited, so batch k+1's transfer and prep overlap
+    batch k's compute, and the tunnel's ~26 ms round-trip sync latency is
+    paid once, not per batch.
     """
+    from raisin_tpu.ops import pipeline_jax
+
+    if mesh is not None:
+        return _encode_lzss_arith_rows_spmd(blocks, mesh)
+
+    maxb = ENC_MAXB
+    pend = []
+    for i in range(0, len(blocks), maxb):
+        part = blocks[i : i + maxb]
+        x, lengths, S = _escaped_blocks(part, None, align=128)
+        steps = (S + 8 + 511) // 512 * 512
+        capw = _capw_bucket(9 * steps + 64)
+        dx = _device_put_big(x)
+        dl = jax.device_put(lengths)
+        out = pipeline_jax.lzss_arith_encode_rows(
+            dx, dl, window=4096, capw=capw, use_pallas_match=False
+        )
+        pend.append((part, dx, dl, steps, capw, out))
+
+    payloads: list[bytes] = []
+    toks: list[int] = []
+    for part, dx, dl, steps, capw, (rows, byte_lens, tok_lens, oflow) in pend:
+        def retry(part=part, dx=dx, dl=dl, steps=steps):
+            capw2 = _capw_bucket(18 * steps)
+            r2 = pipeline_jax.lzss_arith_encode_rows(
+                dx, dl, window=4096, capw=capw2, use_pallas_match=False
+            )
+            return _enc_batch_finish(
+                part, r2[0], r2[1], r2[2], r2[3], capw2,
+                lambda: (_ for _ in ()).throw(ValueError("capw overflow at 18 bits/step")),
+            )
+
+        p, t = _enc_batch_finish(part, rows, byte_lens, tok_lens, oflow, capw, retry)
+        payloads.extend(p)
+        toks.extend(t)
+    return payloads, toks
+
+
+def _encode_lzss_arith_rows_spmd(blocks: list[bytes], mesh):
+    """Mesh path: shard_map over the 'data' axis, 1024 blocks per device."""
     from raisin_tpu.ops import pipeline_jax
 
     maxb = 1024 * _mesh_size(mesh)
@@ -230,7 +339,7 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh):
         payloads: list[bytes] = []
         toks: list[int] = []
         parts = [
-            _encode_lzss_arith_rows(blocks[i : i + maxb], mesh)
+            _encode_lzss_arith_rows_spmd(blocks[i : i + maxb], mesh)
             for i in range(0, len(blocks), maxb)
         ]
         for p, t in parts:
@@ -262,8 +371,6 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh):
     tok_lens = np.asarray(tok_lens)
     oflow = np.asarray(oflow)
     if oflow[: len(blocks)].any():
-        # carried-pending overflow (needs a >31-bit straddle run): re-encode
-        # those blocks on the byte-exact host oracle
         from raisin_tpu.engine.core import compress_bytes
 
         for i in np.nonzero(oflow[: len(blocks)])[0]:
@@ -396,57 +503,89 @@ def _decode_arithmetic_rows(payloads: list[bytes], out_lens: list[int], mesh) ->
     return out
 
 
-def _decode_lzss_arith_rows(
-    payloads: list[bytes], tok_lens: list[int], out_lens: list[int], mesh
-) -> list[bytes]:
-    """TPU fast path: Pallas arithmetic decode -> Pallas LZSS token decode,
-    tokens never leaving the device; host does only the (vectorized)
-    escape-decode layer and length verification."""
+def _dec_tail(payload_count, out_lens, rows, olens_dev, eof_dev) -> bytes:
+    """Readback + escape-decode + join for one decoded batch (vectorized)."""
     from raisin_tpu.formats.lzss_ref import decode_opening_symbols_np
-    from raisin_tpu.ops import arithmetic_pallas as ap
-    from raisin_tpu.ops import lzss_decode_pallas as dp
 
-    maxb = 1024 * _mesh_size(mesh)
-    if len(payloads) > maxb:
-        out: list[bytes] = []
-        for i in range(0, len(payloads), maxb):
-            out.extend(
-                _decode_lzss_arith_rows(
-                    payloads[i : i + maxb], tok_lens[i : i + maxb], out_lens[i : i + maxb], mesh
-                )
+    olens = np.asarray(olens_dev)[:payload_count]
+    eof = np.asarray(eof_dev)
+    if not eof[:payload_count].all():
+        bad = int(np.nonzero(~eof[:payload_count].astype(bool))[0][0])
+        raise ValueError(f"container: block {bad} missing EOF symbol")
+    need_w = min(((int(olens.max()) + 3) // 4 + 128) // 128 * 128, rows.shape[1])
+    rows_np = _asarray_big(rows[:payload_count, :need_w])
+    u8 = rows_np.view(np.uint8)  # (count, need_w * 4) little-endian bytes
+    mask = np.arange(u8.shape[1], dtype=np.int32)[None, :] < olens[:, None]
+    exp = np.asarray(out_lens[:payload_count], dtype=np.int64)
+    if not ((u8 == 0x5C) & mask).any():
+        # no escape pairs anywhere: the escape decode is a pure byte map
+        # (0xFF -> '<') and lengths are preserved, so one flat pass does
+        # the whole batch
+        if not np.array_equal(olens.astype(np.int64), exp):
+            bad = int(np.nonzero(olens.astype(np.int64) != exp)[0][0])
+            raise ValueError(
+                f"container: block {bad} decoded {int(olens[bad])} bytes, "
+                f"expected {int(exp[bad])}"
             )
-        return out
-
-    B = _pad_block_count(len(payloads), mesh, align=128)
-    capb = (max(len(p) for p in payloads) + 511) // 512 * 512
-    steps = max(128, (max(tok_lens) + 1 + 127) // 128 * 128)
-    cap_out = (2 * max(out_lens) + 4095) // 4096 * 4096
-    prows = np.zeros((B, capb), dtype=np.uint8)
-    blens = np.zeros(B, dtype=np.int32)
-    tlens = np.zeros(B, dtype=np.int32)
-    for i, p in enumerate(payloads):
-        prows[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
-        blens[i] = len(p)
-        tlens[i] = tok_lens[i]
-
-    tokens, eof = ap.decode_rows(prows, blens, tlens, num_steps=steps)
-    rows, olens = dp.lzss_decode_blocks(tokens, tlens, cap_out=cap_out)
-    olens = np.asarray(olens)
-    need_w = min(((int(olens[: len(payloads)].max()) + 3) // 4 + 128) // 128 * 128, rows.shape[1])
-    rows_np = np.asarray(rows[:, :need_w])
-    eof = np.asarray(eof)
-    out = []
-    for i in range(len(payloads)):
-        if not bool(eof[i]):
-            raise ValueError(f"container: block {i} missing EOF symbol")
+        flat = u8[mask]
+        np.copyto(flat, 0x3C, where=flat == 0xFF)
+        return flat.tobytes()
+    parts = []
+    for i in range(payload_count):
         esc = rows_np[i].tobytes()[: olens[i]]
         dec = decode_opening_symbols_np(esc)
         if len(dec) != out_lens[i]:
             raise ValueError(
                 f"container: block {i} decoded {len(dec)} bytes, expected {out_lens[i]}"
             )
-        out.append(dec)
-    return out
+        parts.append(dec)
+    return b"".join(parts)
+
+
+def _decode_lzss_arith_rows(
+    payloads: list[bytes], tok_lens: list[int], out_lens: list[int], mesh
+) -> list[bytes]:
+    """TPU fast path: Pallas arithmetic decode -> Pallas LZSS token decode,
+    tokens never leaving the device; host does only the (vectorized)
+    escape-decode layer and length verification.
+
+    Single-chip, all batches (DEC_MAXB blocks each) are dispatched before
+    any readback so transfers overlap compute across batches."""
+    from raisin_tpu.ops import arithmetic_pallas as ap
+    from raisin_tpu.ops import lzss_decode_pallas as dp
+
+    if mesh is None:
+        # the arithmetic decoder keeps the payload word stream VMEM-resident:
+        # (capb/4 words x rows x 128 lanes x 4B) must stay well under VMEM
+        capb_all = (max(len(p) for p in payloads) + 511) // 512 * 512
+        maxb = max(128, min(DEC_MAXB, (10 << 20) // (capb_all * 128) * 128))
+    else:
+        maxb = 1024 * _mesh_size(mesh)
+
+    pend = []
+    for i in range(0, len(payloads), maxb):
+        part = payloads[i : i + maxb]
+        part_tok = tok_lens[i : i + maxb]
+        part_out = out_lens[i : i + maxb]
+        B = _pad_block_count(len(part), mesh, align=128)
+        capb = (max(len(p) for p in part) + 511) // 512 * 512
+        steps = max(128, (max(part_tok) + 1 + 127) // 128 * 128)
+        cap_out = (2 * max(part_out) + 4095) // 4096 * 4096
+        prows = np.zeros((B, capb), dtype=np.uint8)
+        blens = np.zeros(B, dtype=np.int32)
+        tlens = np.zeros(B, dtype=np.int32)
+        for k, p in enumerate(part):
+            prows[k, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+            blens[k] = len(p)
+            tlens[k] = part_tok[k]
+        dprows = _device_put_big(prows)
+        tokens, eof = ap.decode_rows(
+            dprows, jax.device_put(blens), jax.device_put(tlens), num_steps=steps
+        )
+        rows, olens = dp.lzss_decode_blocks(tokens, jax.device_put(tlens), cap_out=cap_out)
+        pend.append((len(part), part_out, rows, olens, eof))
+
+    return [_dec_tail(*p) for p in pend]
 
 
 def _decode_arithmetic_batch(payloads: list[bytes], out_lens: list[int], mesh) -> list[bytes]:
@@ -562,8 +701,8 @@ def decompress_container(data: bytes, mesh=None) -> bytes:
         out_lens_i = [int(v) for v in out_lens]
         if (
             _use_pallas()
-            and max(len(p) for p in payloads) <= 8192
-            and max(out_lens_i) <= 8192
+            and max(len(p) for p in payloads) <= 32768
+            and max(out_lens_i) <= 32768
         ):
             # fully-device decode: arithmetic + LZSS token parse in Pallas
             blocks = _decode_lzss_arith_rows(payloads, aux[0], out_lens_i, mesh)
