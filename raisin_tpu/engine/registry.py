@@ -49,7 +49,15 @@ SUITES: dict[str, list[str]] = {
     "suite": ["lzss", "dmc", "huffman", "mcc", "flate", "gzip", "lzw", "zlib", "arithmetic"],
 }
 
-_FALLBACK_ORDER = ("device", "native", "host")
+# Auto order for SINGLE-STREAM whole-file codecs (reference-parity `.rsn`
+# paths, engine.go:443): the stream is one sequential scan, so the native C
+# runtime is the fastest implementation at every size, and the device
+# backend — which would pay a multi-second jit compile for zero intra-stream
+# parallelism — comes last. The TPU scale path is the block container
+# (parallel/blocks), which dispatches its own device pipelines and is
+# unaffected by this order; `-backend=device` still forces the device codecs
+# explicitly (and the container's host fallbacks deliberately bypass auto).
+_FALLBACK_ORDER = ("native", "host", "device")
 
 
 @dataclass(frozen=True)

@@ -74,7 +74,10 @@ def _call(fn_name: str, data: bytes, *extra) -> bytes:
         data, ctypes.c_long(len(data)), *extra, ctypes.byref(out_p), ctypes.byref(out_len)
     )
     if rc != 0:
-        raise ValueError(f"{fn_name}: native error {rc}")
+        # mirror the host oracles' messages (RSN_ERR_ALLOC=-1, RSN_ERR_FORMAT=-2)
+        if rc == -2:
+            raise ValueError(f"{fn_name}: malformed stream (ended without EOF symbol?)")
+        raise MemoryError(f"{fn_name}: native allocation failure")
     try:
         return ctypes.string_at(out_p, out_len.value)
     finally:
