@@ -25,6 +25,9 @@ Flags:
     -blocksize=N           container block size in bytes (default 65536)
     -devices=N|auto        container mode: shard blocks over a 'data' mesh
                            of N (or all) devices — the multi-chip scale path
+    -window=N              LZSS search window (default 4096; parity with
+                           lz.NewWriterLevel, lzss.go:42). In container
+                           mode this sets the speed/ratio tradeoff
     -profile[=DIR]         wrap the run in a jax.profiler trace
                            (default DIR /tmp/raisin_tpu_trace)
 """
@@ -97,7 +100,7 @@ def _split_flags(args: list[str]) -> tuple[dict[str, str], list[str]]:
                 flags[name] = "true"
             elif i + 1 < len(args) and not args[i + 1].startswith("-"):
                 # Allow "-algorithm value" spelling in addition to "-algorithm=value"
-                if name in ("algorithm", "out", "outext", "backend", "blocksize", "devices"):
+                if name in ("algorithm", "out", "outext", "backend", "blocksize", "devices", "window"):
                     flags[name] = args[i + 1]
                     i += 1
                 else:
@@ -171,18 +174,21 @@ def _run_command(command: str, flags: dict, positional: list[str], application: 
         container = flags.get("container") == "true"
         block_size = int(flags.get("blocksize", str(1 << 16)))
         devices = flags.get("devices")
+        window = int(flags["window"]) if "window" in flags else None
         try:
             if len(files) > 1:
                 ext = "." + flags.get("outext", "rsn")
                 compress_files(
                     algorithms, files, ext,
                     container=container, block_size=block_size, devices=devices,
+                    window=window,
                 )
             else:
                 out = flags.get("out", files[0] + ".rsn")
                 compress_file(
                     algorithms, files[0], out,
                     container=container, block_size=block_size, devices=devices,
+                    window=window,
                 )
         except KeyError as exc:
             return _error(f"{exc.args[0]}\nValid algorithms: {', '.join(registry.ENGINES)}\n")
@@ -198,7 +204,10 @@ def _run_command(command: str, flags: dict, positional: list[str], application: 
         try:
             if len(files) > 1:
                 ext = flags.get("outext", "")
-                decompress_files(algorithms, files, ("." + ext) if ext else "")
+                decompress_files(
+                    algorithms, files, ("." + ext) if ext else "",
+                    devices=flags.get("devices"),
+                )
             else:
                 default_out = os.path.splitext(files[0])[0]
                 out = flags.get("out", default_out)

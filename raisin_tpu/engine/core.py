@@ -17,11 +17,40 @@ from raisin_tpu.engine.registry import expand_algorithms, get_codec
 DEFAULT_WINDOW_SIZE = 4096
 
 
-def compress_bytes(data: bytes, algorithms: Iterable[str], backend: str | None = None) -> bytes:
-    """Apply codec layers in order (engine.go:443)."""
+def compress_bytes(
+    data: bytes,
+    algorithms: Iterable[str],
+    backend: str | None = None,
+    window: int | None = None,
+) -> bytes:
+    """Apply codec layers in order (engine.go:443).
+
+    ``window`` overrides the LZSS search window (lz.NewWriterLevel parity,
+    lzss.go:42); other layers ignore it. Decompression never needs it (the
+    token format carries explicit distances).
+    """
     for name in expand_algorithms(list(algorithms)):
-        data = get_codec(name, backend).compress(data)
+        codec = get_codec(name, backend)
+        if name == "lzss" and window not in (None, DEFAULT_WINDOW_SIZE):
+            data = _lzss_compress_windowed(data, window, codec.backend)
+        else:
+            data = codec.compress(data)
     return data
+
+
+def _lzss_compress_windowed(data: bytes, window: int, backend: str) -> bytes:
+    """LZSS compress at a non-default window on the selected backend."""
+    if backend == "native":
+        from raisin_tpu.native import lzss_compress
+
+        return lzss_compress(data, window)
+    if backend == "device":
+        from raisin_tpu.ops import lzss_jax
+
+        return lzss_jax.compress(data, window)
+    from raisin_tpu.formats import lzss_ref
+
+    return lzss_ref.compress(data, window)
 
 
 def decompress_bytes(data: bytes, algorithms: Iterable[str], backend: str | None = None) -> bytes:
@@ -99,12 +128,14 @@ def compress_file(
     container: bool = False,
     block_size: int = 1 << 16,
     devices: int | str | None = None,
+    window: int | None = None,
 ) -> bytes:
     """Parity with engine.CompressFile (engine.go:157).
 
     With ``container=True`` the output is an RSNB block container (the
     block-parallel scale path) instead of a raw layered stream; ``devices``
-    shards the container blocks over a 'data' mesh (see _resolve_mesh).
+    shards the container blocks over a 'data' mesh (see _resolve_mesh);
+    ``window`` sets the LZSS search window (NewWriterLevel parity).
     """
     with open(path, "rb") as f:
         contents = f.read()
@@ -114,10 +145,11 @@ def compress_file(
         from raisin_tpu.parallel.blocks import compress_container
 
         compressed = compress_container(
-            contents, tuple(algorithms), block_size, mesh=_resolve_mesh(devices)
+            contents, tuple(algorithms), block_size, mesh=_resolve_mesh(devices),
+            window=window if window is not None else DEFAULT_WINDOW_SIZE,
         )
     else:
-        compressed = compress_bytes(contents, algorithms, backend)
+        compressed = compress_bytes(contents, algorithms, backend, window=window)
     with open(output, "wb") as f:
         f.write(compressed)
     if not quiet:

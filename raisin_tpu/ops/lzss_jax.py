@@ -162,17 +162,20 @@ def find_matches_blocks(x: jax.Array, lengths: jax.Array, window: int, num_steps
     B, S = x.shape
 
     # descending phases with geometrically shrinking windows: positions in
-    # [p0, p1) can only match distances <= p1, so smaller windows suffice
-    # for the block prefix (exactness argument in _phase_bounds). The run
-    # carry crossing a phase boundary is the last wl_next lanes (distances
-    # 1..wl_next) of the reversed-layout state.
+    # [p0, p1) can only match distances <= p1 - 1, so smaller windows
+    # suffice for the block prefix. The run carry crossing a phase boundary
+    # is the last wl_next lanes (distances 1..wl_next) of the reversed-
+    # layout state (wl is non-increasing down the schedule). A 3/4 descent
+    # (p0 = 3*p1/4) costs sum p1*wl/4 ~ 0.57*S*min(S,W) vs 0.67 for
+    # halving; wl snaps up to the 128-lane vector width.
     phases: list[tuple[int, int, int]] = []
     p1 = S
     while p1 > 0:
-        wl = min(window, max(MIN_PHASE, p1))
-        half = p1 // 2
-        lower_wl = min(window, max(MIN_PHASE, half))
-        p0 = half if (lower_wl < wl and half % TILE == 0) else 0
+        wl = min(window, max(MIN_PHASE, -(-p1 // 128) * 128))
+        p0 = (3 * p1 // 4) // TILE * TILE
+        wl_next = min(window, max(MIN_PHASE, -(-p0 // 128) * 128))
+        if wl_next >= wl:
+            p0 = 0
         phases.append((p0, p1, wl))
         p1 = p0
 

@@ -42,13 +42,21 @@ MAGIC = b"RSNB"
 VERSION = 1
 DEFAULT_BLOCK_SIZE = 1 << 16
 
-_DEVICE_PIPELINES = (("arithmetic",), ("lzss",), ("lzss", "arithmetic"))
+_DEVICE_PIPELINES = (
+    ("arithmetic",),
+    ("lzss",),
+    ("lzss", "arithmetic"),
+    ("huffman",),
+    ("lzss", "huffman"),
+)
 
 # Single-chip batch sizes: the Pallas coder state scales with rows = B/128
-# (VMEM-bound). Encode fits 32 rows; decode keeps the payload word stream
-# VMEM-resident, capping it at 16 rows.
-ENC_MAXB = 4096
-DEC_MAXB = 2048
+# (VMEM-bound; encode fits 32 rows, decode 16). Batches are kept smaller
+# than the VMEM bound so several are in flight at once: batch k+1's
+# host->device transfer and host prep run under batch k's kernels, and each
+# batch's outputs start their device->host copy as soon as it finishes.
+ENC_MAXB = 2048
+DEC_MAXB = 1024
 
 _POOL = None
 
@@ -67,7 +75,7 @@ def _device_put_big(x: np.ndarray) -> jax.Array:
     parallel streams (streams form per issuing thread); the shards are
     re-joined by an on-device concatenate (HBM-speed).
     """
-    if x.nbytes < (8 << 20):
+    if x.nbytes < (4 << 20):
         return jax.device_put(x)
     n = 4
     rows = x.shape[0]
@@ -82,7 +90,7 @@ def _device_put_big(x: np.ndarray) -> jax.Array:
 
 def _asarray_big(a) -> np.ndarray:
     """np.asarray with the device->host transfer split across 4 threads."""
-    if a.ndim < 1 or a.size * a.dtype.itemsize < (8 << 20):
+    if a.ndim < 1 or a.size * a.dtype.itemsize < (4 << 20):
         return np.asarray(a)
     n = 4
     rows = a.shape[0]
@@ -256,33 +264,36 @@ def _capw_bucket(bits: int) -> int:
     return ((words + 1023) // 1024) * 1024
 
 
+def _rows_prefix(rows_dev, byte_lens: np.ndarray):
+    """Slice device rows to the prefix of columns any block actually uses
+    and start its device->host copy (overlaps later batches' compute)."""
+    need_w = int((int(byte_lens.max()) + 3) // 4 + 1)
+    need_w = min(((need_w + 127) // 128) * 128, rows_dev.shape[1])
+    sl = rows_dev[:, :need_w]
+    sl.copy_to_host_async()
+    return sl
+
+
 def _rows_payloads(rows_dev, byte_lens: np.ndarray, count: int) -> list[bytes]:
     """Fetch per-block `.rsn` payload bytes from device rows, transferring
     only the prefix of columns that any block actually uses."""
-    need_w = int((int(byte_lens.max()) + 3) // 4 + 1)
-    need_w = min(((need_w + 127) // 128) * 128, rows_dev.shape[1])
-    rows_np = _asarray_big(rows_dev[:, :need_w])
+    rows_np = np.asarray(_rows_prefix(rows_dev, byte_lens))
     return [rows_np[i].tobytes()[: byte_lens[i]] for i in range(count)]
 
 
-def _enc_batch_finish(blocks, rows, byte_lens, tok_lens, oflow, capw, retry_fn):
-    byte_lens = np.asarray(byte_lens)
-    if int(byte_lens.max()) > capw * 4:
-        return retry_fn()
-    payloads = _rows_payloads(rows, byte_lens, len(blocks))
-    tok_lens = np.asarray(tok_lens)
-    oflow = np.asarray(oflow)
+def _enc_batch_assemble(blocks, rows_np, byte_lens, tok_lens, oflow, window):
+    payloads = [rows_np[i].tobytes()[: byte_lens[i]] for i in range(len(blocks))]
     if oflow[: len(blocks)].any():
         # carried-pending overflow (needs a >31-bit straddle run): re-encode
-        # those blocks on the byte-exact host oracle
-        from raisin_tpu.engine.core import compress_bytes
+        # those blocks on the byte-exact host oracle (same window!)
+        from raisin_tpu.formats import arithmetic_ref, lzss_ref
 
         for i in np.nonzero(oflow[: len(blocks)])[0]:
-            payloads[i] = compress_bytes(blocks[i], ["lzss", "arithmetic"])
+            payloads[i] = arithmetic_ref.compress(lzss_ref.compress(blocks[i], window))
     return payloads, [int(t) for t in tok_lens[: len(blocks)]]
 
 
-def _encode_lzss_arith_rows(blocks: list[bytes], mesh):
+def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
     """TPU fast path: fused match+commit+arithmetic with in-kernel packing.
 
     Single-chip, batches of <= ENC_MAXB blocks per kernel call (the Pallas
@@ -295,7 +306,7 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh):
     from raisin_tpu.ops import pipeline_jax
 
     if mesh is not None:
-        return _encode_lzss_arith_rows_spmd(blocks, mesh)
+        return _encode_lzss_arith_rows_spmd(blocks, mesh, window)
 
     maxb = ENC_MAXB
     pend = []
@@ -307,30 +318,40 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh):
         dx = _device_put_big(x)
         dl = jax.device_put(lengths)
         out = pipeline_jax.lzss_arith_encode_rows(
-            dx, dl, window=4096, capw=capw, use_pallas_match=False
+            dx, dl, window=window, capw=capw, use_pallas_match=False
         )
         pend.append((part, dx, dl, steps, capw, out))
 
+    # stage 1: as each batch finishes, read its (tiny) length vectors and
+    # kick off the async device->host copy of the payload prefix, so batch
+    # k's readback rides under batch k+1..n's kernels
+    staged = []
+    for part, dx, dl, steps, capw, (rows, byte_lens, tok_lens, oflow) in pend:
+        bl = np.asarray(byte_lens)
+        if int(bl.max()) > capw * 4:
+            # capacity overflow (pathological data): re-run this batch at the
+            # proven worst-case bits/step bound
+            capw2 = _capw_bucket(18 * steps)
+            rows, byte_lens, tok_lens, oflow = pipeline_jax.lzss_arith_encode_rows(
+                dx, dl, window=window, capw=capw2, use_pallas_match=False
+            )
+            bl = np.asarray(byte_lens)
+            if int(bl.max()) > capw2 * 4:
+                raise ValueError("container: capw overflow at 18 bits/step")
+        staged.append(
+            (part, _rows_prefix(rows, bl), bl, np.asarray(tok_lens), np.asarray(oflow))
+        )
+
     payloads: list[bytes] = []
     toks: list[int] = []
-    for part, dx, dl, steps, capw, (rows, byte_lens, tok_lens, oflow) in pend:
-        def retry(part=part, dx=dx, dl=dl, steps=steps):
-            capw2 = _capw_bucket(18 * steps)
-            r2 = pipeline_jax.lzss_arith_encode_rows(
-                dx, dl, window=4096, capw=capw2, use_pallas_match=False
-            )
-            return _enc_batch_finish(
-                part, r2[0], r2[1], r2[2], r2[3], capw2,
-                lambda: (_ for _ in ()).throw(ValueError("capw overflow at 18 bits/step")),
-            )
-
-        p, t = _enc_batch_finish(part, rows, byte_lens, tok_lens, oflow, capw, retry)
+    for part, sl, bl, tl, of in staged:
+        p, t = _enc_batch_assemble(part, np.asarray(sl), bl, tl, of, window)
         payloads.extend(p)
         toks.extend(t)
     return payloads, toks
 
 
-def _encode_lzss_arith_rows_spmd(blocks: list[bytes], mesh):
+def _encode_lzss_arith_rows_spmd(blocks: list[bytes], mesh, window: int = 4096):
     """Mesh path: shard_map over the 'data' axis, 1024 blocks per device."""
     from raisin_tpu.ops import pipeline_jax
 
@@ -339,7 +360,7 @@ def _encode_lzss_arith_rows_spmd(blocks: list[bytes], mesh):
         payloads: list[bytes] = []
         toks: list[int] = []
         parts = [
-            _encode_lzss_arith_rows_spmd(blocks[i : i + maxb], mesh)
+            _encode_lzss_arith_rows_spmd(blocks[i : i + maxb], mesh, window)
             for i in range(0, len(blocks), maxb)
         ]
         for p, t in parts:
@@ -353,7 +374,7 @@ def _encode_lzss_arith_rows_spmd(blocks: list[bytes], mesh):
         fn = _spmd(
             functools.partial(
                 pipeline_jax.lzss_arith_encode_rows,
-                window=4096,
+                window=window,
                 capw=capw,
                 # XLA tiled-scan match is ~10x the v2 Pallas kernel at 4 KiB
                 # blocks on v5e (BENCH notes); revisit with match kernel v3
@@ -371,10 +392,10 @@ def _encode_lzss_arith_rows_spmd(blocks: list[bytes], mesh):
     tok_lens = np.asarray(tok_lens)
     oflow = np.asarray(oflow)
     if oflow[: len(blocks)].any():
-        from raisin_tpu.engine.core import compress_bytes
+        from raisin_tpu.formats import arithmetic_ref, lzss_ref
 
         for i in np.nonzero(oflow[: len(blocks)])[0]:
-            payloads[i] = compress_bytes(blocks[i], ["lzss", "arithmetic"])
+            payloads[i] = arithmetic_ref.compress(lzss_ref.compress(blocks[i], window))
     return payloads, [int(t) for t in tok_lens[: len(blocks)]]
 
 
@@ -417,11 +438,11 @@ def _encode_arithmetic_rows(blocks: list[bytes], mesh) -> list[bytes]:
     return payloads
 
 
-def _encode_lzss_pipeline(blocks: list[bytes], mesh, with_arith: bool):
+def _encode_lzss_pipeline(blocks: list[bytes], mesh, with_arith: bool, window: int = 4096):
     from raisin_tpu.ops import pipeline_jax
 
     if with_arith and _use_pallas():
-        return _encode_lzss_arith_rows(blocks, mesh)
+        return _encode_lzss_arith_rows(blocks, mesh, window)
 
     x, lengths, S = _escaped_blocks(blocks, mesh)
     B = x.shape[0]
@@ -435,7 +456,7 @@ def _encode_lzss_pipeline(blocks: list[bytes], mesh, with_arith: bool):
         fn = _spmd(
             functools.partial(
                 pipeline_jax.lzss_encode_packed,
-                window=4096,
+                window=window,
                 cap_bytes=cap // n,
                 use_pallas=_use_pallas(),
                 with_arith=with_arith,
@@ -451,13 +472,13 @@ def _encode_lzss_pipeline(blocks: list[bytes], mesh, with_arith: bool):
     return _split_flat(flat, out_lens, len(blocks), mesh), [int(t) for t in tok_lens[: len(blocks)]]
 
 
-def _encode_lzss_batch(blocks: list[bytes], mesh) -> list[bytes]:
-    payloads, _ = _encode_lzss_pipeline(blocks, mesh, with_arith=False)
+def _encode_lzss_batch(blocks: list[bytes], mesh, window: int = 4096) -> list[bytes]:
+    payloads, _ = _encode_lzss_pipeline(blocks, mesh, with_arith=False, window=window)
     return payloads
 
 
-def _encode_lzss_arithmetic_batch(blocks: list[bytes], mesh):
-    return _encode_lzss_pipeline(blocks, mesh, with_arith=True)
+def _encode_lzss_arithmetic_batch(blocks: list[bytes], mesh, window: int = 4096):
+    return _encode_lzss_pipeline(blocks, mesh, with_arith=True, window=window)
 
 
 def _decode_arithmetic_rows(payloads: list[bytes], out_lens: list[int], mesh) -> list[bytes]:
@@ -503,17 +524,26 @@ def _decode_arithmetic_rows(payloads: list[bytes], out_lens: list[int], mesh) ->
     return out
 
 
-def _dec_tail(payload_count, out_lens, rows, olens_dev, eof_dev) -> bytes:
-    """Readback + escape-decode + join for one decoded batch (vectorized)."""
-    from raisin_tpu.formats.lzss_ref import decode_opening_symbols_np
-
+def _dec_stage(payload_count, rows, olens_dev, eof_dev):
+    """Per-batch post-kernel staging: read the tiny length/eof vectors and
+    start the async device->host copy of the decoded rows (rides under the
+    remaining batches' kernels)."""
     olens = np.asarray(olens_dev)[:payload_count]
     eof = np.asarray(eof_dev)
     if not eof[:payload_count].all():
         bad = int(np.nonzero(~eof[:payload_count].astype(bool))[0][0])
         raise ValueError(f"container: block {bad} missing EOF symbol")
     need_w = min(((int(olens.max()) + 3) // 4 + 128) // 128 * 128, rows.shape[1])
-    rows_np = _asarray_big(rows[:payload_count, :need_w])
+    sl = rows[:payload_count, :need_w]
+    sl.copy_to_host_async()
+    return sl, olens
+
+
+def _dec_tail(payload_count, out_lens, rows_sl, olens) -> bytes:
+    """Escape-decode + verify + join for one decoded batch (vectorized)."""
+    from raisin_tpu.formats.lzss_ref import decode_opening_symbols_np
+
+    rows_np = np.asarray(rows_sl)
     u8 = rows_np.view(np.uint8)  # (count, need_w * 4) little-endian bytes
     mask = np.arange(u8.shape[1], dtype=np.int32)[None, :] < olens[:, None]
     exp = np.asarray(out_lens[:payload_count], dtype=np.int64)
@@ -585,7 +615,11 @@ def _decode_lzss_arith_rows(
         rows, olens = dp.lzss_decode_blocks(tokens, jax.device_put(tlens), cap_out=cap_out)
         pend.append((len(part), part_out, rows, olens, eof))
 
-    return [_dec_tail(*p) for p in pend]
+    staged = [
+        (count, part_out) + _dec_stage(count, rows, olens, eof)
+        for count, part_out, rows, olens, eof in pend
+    ]
+    return [_dec_tail(*p) for p in staged]
 
 
 def _decode_arithmetic_batch(payloads: list[bytes], out_lens: list[int], mesh) -> list[bytes]:
@@ -634,8 +668,16 @@ def compress_container(
     algorithms: list[str] | tuple[str, ...] = ("lzss", "arithmetic"),
     block_size: int = DEFAULT_BLOCK_SIZE,
     mesh=None,
+    window: int = 4096,
 ) -> bytes:
-    """Block-parallel encode into the RSNB container."""
+    """Block-parallel encode into the RSNB container.
+
+    ``window`` is the LZSS search window (lz.NewWriterLevel parity,
+    lzss.go:42). With block_size >> window it sets the speed/ratio point:
+    match-search work scales ~linearly with the window while the ratio
+    improves with it; payloads stay reference-decodable at any value (the
+    token format carries explicit distances).
+    """
     algorithms = tuple(algorithms)
     blocks = [data[i : i + block_size] for i in range(0, len(data), block_size)] or [b""]
 
@@ -643,10 +685,20 @@ def compress_container(
     if algorithms == ("arithmetic",):
         payloads = _encode_arithmetic_batch(blocks, mesh)
     elif algorithms == ("lzss",):
-        payloads = _encode_lzss_batch(blocks, mesh)
+        payloads = _encode_lzss_batch(blocks, mesh, window)
     elif algorithms == ("lzss", "arithmetic"):
-        payloads, inter_lens = _encode_lzss_arithmetic_batch(blocks, mesh)
+        payloads, inter_lens = _encode_lzss_arithmetic_batch(blocks, mesh, window)
         aux.append(inter_lens)
+    elif algorithms == ("huffman",):
+        from raisin_tpu.ops import huffman_blocks
+
+        payloads = huffman_blocks.encode_blocks(blocks)
+    elif algorithms == ("lzss", "huffman"):
+        from raisin_tpu.ops import huffman_blocks
+
+        tokens = _encode_lzss_batch(blocks, mesh, window)
+        payloads = huffman_blocks.encode_blocks(tokens)
+        aux.append([len(t) for t in tokens])
     else:
         # host fallback: any registered pipeline, still block-split
         from raisin_tpu.engine.core import compress_bytes
@@ -714,6 +766,17 @@ def decompress_container(data: bytes, mesh=None) -> bytes:
             lz = get_codec("lzss", backend="native")  # falls back to host oracle
             inter = _decode_arithmetic_batch(payloads, aux[0], mesh)
             blocks = [lz.decompress(t) for t in inter]
+    elif algorithms == ("huffman",):
+        from raisin_tpu.ops import huffman_blocks
+
+        blocks = huffman_blocks.decode_blocks(payloads)
+    elif algorithms == ("lzss", "huffman"):
+        from raisin_tpu.engine.registry import get_codec
+        from raisin_tpu.ops import huffman_blocks
+
+        lz = get_codec("lzss", backend="native")  # falls back to host oracle
+        tokens = huffman_blocks.decode_blocks(payloads)
+        blocks = [lz.decompress(t) for t in tokens]
     else:
         from raisin_tpu.engine.core import decompress_bytes
 

@@ -73,3 +73,47 @@ def test_mesh_padding_of_ragged_block_counts():
     data = random_text(5_000, seed=84)
     c = compress_container(data, ("arithmetic",), block_size=2048, mesh=mesh)
     assert decompress_container(c) == data
+
+
+def test_container_lzss_huffman_roundtrip():
+    data = random_text(10_000, seed=85)
+    c = compress_container(data, ("lzss", "huffman"), block_size=2048)
+    algorithms, _, _, payloads, aux = parse_container(c)
+    assert algorithms == ("lzss", "huffman")
+    assert len(aux) == 1  # lzss token-stream lengths
+    assert decompress_container(c) == data
+
+
+def test_container_huffman_blocks_are_reference_format():
+    # device-batched huffman payloads must be byte-identical to the oracle
+    from raisin_tpu.formats import huffman_ref
+
+    data = random_text(6_000, seed=86)
+    c = compress_container(data, ("huffman",), block_size=2048)
+    _, block_size, _, payloads, _ = parse_container(c)
+    for i, p in enumerate(payloads):
+        block = data[i * block_size : (i + 1) * block_size]
+        assert p == huffman_ref.compress(block)
+        assert huffman_ref.decompress(p) == block
+
+
+def test_container_huffman_non_ascii_fallback():
+    # bytes >= 0x80 route through the host oracle path (Go rune semantics
+    # mangle non-UTF-8 either way; valid UTF-8 text must still round-trip)
+    data = ("héllo wörld ünïcode " * 100).encode("utf-8")
+    c = compress_container(data, ("huffman",), block_size=len(data))
+    assert decompress_container(c) == data
+
+
+def test_container_window_parameter():
+    # smaller windows produce valid (reference-decodable) containers and
+    # match the oracle at the same window
+    from raisin_tpu.formats import arithmetic_ref, lzss_ref
+
+    data = random_text(9_000, seed=87)
+    c = compress_container(data, ("lzss", "arithmetic"), block_size=4096, window=1024)
+    _, block_size, _, payloads, _ = parse_container(c)
+    for i, p in enumerate(payloads):
+        block = data[i * block_size : (i + 1) * block_size]
+        assert p == arithmetic_ref.compress(lzss_ref.compress(block, 1024))
+    assert decompress_container(c) == data
