@@ -55,6 +55,8 @@ def _load():
         ("rsn_lzss_decompress", []),
         ("rsn_arith_compress", []),
         ("rsn_arith_decompress", []),
+        ("rsn_mcc_compress", []),
+        ("rsn_mcc_decompress", []),
     ):
         fn = getattr(lib, name)
         fn.argtypes = [ctypes.c_char_p, ctypes.c_long] + extra + [
@@ -100,6 +102,14 @@ def arith_decompress(data: bytes) -> bytes:
     return _call("rsn_arith_decompress", data)
 
 
+def mcc_compress(data: bytes) -> bytes:
+    return _call("rsn_mcc_compress", data)
+
+
+def mcc_decompress(data: bytes) -> bytes:
+    return _call("rsn_mcc_decompress", data)
+
+
 def register() -> None:
     """Register native backends (called by engine.registry on import)."""
     from raisin_tpu.engine.registry import register_backend
@@ -107,3 +117,4 @@ def register() -> None:
     _load()  # build now so failures surface as a registry warning
     register_backend("lzss", "native", lzss_compress, lzss_decompress)
     register_backend("arithmetic", "native", arith_compress, arith_decompress)
+    register_backend("mcc", "native", mcc_compress, mcc_decompress)

@@ -429,3 +429,312 @@ long rsn_arith_decompress(const uint8_t *in, long n, uint8_t **out_p, long *out_
     *out_len = (long)out.len;
     return 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* MCC "Markov chain compressor" (formats/mcc_ref.py; reference
+ * compressor/mcc/mcc.go:212,321). Adaptive state machine over
+ * byte-labelled states; wire format = ASCII comma-separated transition
+ * indices + '\' (0x5C) + literal bytes in first-occurrence order
+ * (mcc.go:389-392). Transition lists are re-sorted stably by descending
+ * frequency after every hit; stable-sort output is canonical, so the
+ * adaptive insertion sort below is byte-exact vs the oracle's list.sort. */
+
+#define MCC_SEP 0x5C
+#define MCC_HIGHEST_UP 8 /* 2^8 = 256 (mcc.go:161) */
+#define MCC_NTOK (MCC_HIGHEST_UP + 2)
+
+typedef struct mcc_state {
+    struct mcc_state *parent;
+    struct mcc_state **tr;
+    int n_tr, cap_tr;
+    int32_t freq;
+    int16_t token;
+    uint8_t is_tok, is_root, symbol;
+} mcc_state_t;
+
+typedef struct mcc_chunk {
+    struct mcc_chunk *next;
+    int used;
+    mcc_state_t states[1024];
+} mcc_chunk_t;
+
+typedef struct {
+    mcc_chunk_t *head;
+    int oom;
+} mcc_arena_t;
+
+static mcc_state_t *mcc_alloc(mcc_arena_t *a) {
+    if (!a->head || a->head->used == 1024) {
+        mcc_chunk_t *c = (mcc_chunk_t *)malloc(sizeof(mcc_chunk_t));
+        if (!c) { a->oom = 1; return NULL; }
+        c->next = a->head;
+        c->used = 0;
+        a->head = c;
+    }
+    mcc_state_t *s = &a->head->states[a->head->used++];
+    memset(s, 0, sizeof(*s));
+    return s;
+}
+
+static void mcc_arena_free(mcc_arena_t *a) {
+    mcc_chunk_t *c = a->head;
+    while (c) {
+        for (int i = 0; i < c->used; i++) free(c->states[i].tr);
+        mcc_chunk_t *n = c->next;
+        free(c);
+        c = n;
+    }
+    a->head = NULL;
+}
+
+static int mcc_tr_push(mcc_state_t *s, mcc_state_t *child) {
+    if (s->n_tr == s->cap_tr) {
+        int cap = s->cap_tr ? s->cap_tr * 2 : MCC_NTOK;
+        mcc_state_t **np = (mcc_state_t **)realloc(s->tr, cap * sizeof(*np));
+        if (!np) return -1;
+        s->tr = np;
+        s->cap_tr = cap;
+    }
+    s->tr[s->n_tr++] = child;
+    return 0;
+}
+
+/* the reference's quirky token frequency ramp: Read=900, Up1=800,
+ * Up2=-100, ... Up256=-800 (mcc.go:172) */
+static int mcc_add_tokens(mcc_arena_t *a, mcc_state_t *s) {
+    int freq = 1000;
+    for (int i = 0; i < MCC_NTOK; i++) {
+        if (i == 2) freq = 0;
+        freq -= 100;
+        mcc_state_t *t = mcc_alloc(a);
+        if (!t) return -1;
+        t->is_tok = 1;
+        t->token = (int16_t)(i == 0 ? 0 : (1 << (i - 1)));
+        t->parent = s;
+        t->freq = freq;
+        if (mcc_tr_push(s, t)) return -1;
+    }
+    return 0;
+}
+
+static mcc_state_t *mcc_create_state(mcc_arena_t *a, uint8_t symbol, mcc_state_t *parent) {
+    mcc_state_t *s = mcc_alloc(a);
+    if (!s) return NULL;
+    s->symbol = symbol;
+    s->parent = parent;
+    s->freq = 1;
+    if (mcc_add_tokens(a, s)) return NULL;
+    if (mcc_tr_push(parent, s)) return NULL;
+    return s;
+}
+
+/* stable descending insertion sort (canonical stable-sort result) */
+static void mcc_sort(mcc_state_t *s) {
+    for (int i = 1; i < s->n_tr; i++) {
+        mcc_state_t *x = s->tr[i];
+        int j = i;
+        while (j > 0 && s->tr[j - 1]->freq < x->freq) {
+            s->tr[j] = s->tr[j - 1];
+            j--;
+        }
+        s->tr[j] = x;
+    }
+}
+
+static int mcc_index_in_parent(const mcc_state_t *s) {
+    const mcc_state_t *p = s->parent;
+    for (int i = 0; i < p->n_tr; i++)
+        if (p->tr[i] == s) return i;
+    return -1;
+}
+
+static mcc_state_t *mcc_tok_state(mcc_state_t *s, int tok) {
+    for (int i = 0; i < s->n_tr; i++)
+        if (s->tr[i]->is_tok && s->tr[i]->token == tok) return s->tr[i];
+    return NULL;
+}
+
+static int mcc_parent_with_symbol(mcc_state_t *s, uint8_t symbol) {
+    int dist = 0;
+    for (;;) {
+        if (!s->is_tok && !s->is_root && symbol == s->symbol) return dist;
+        if (!s->parent) return -1;
+        s = s->parent;
+        dist++;
+    }
+}
+
+static mcc_state_t *mcc_get_parent(mcc_state_t *s, int up) {
+    for (int i = 0; i < up; i++) s = s->parent;
+    return s;
+}
+
+static int mcc_emit_index(buf_t *b, int idx, int *first) {
+    char tmp[16];
+    int len = 0;
+    if (!*first && buf_push(b, ',')) return -1;
+    *first = 0;
+    if (idx == 0) return buf_push(b, '0');
+    while (idx > 0) { tmp[len++] = (char)('0' + idx % 10); idx /= 10; }
+    while (len > 0) if (buf_push(b, (uint8_t)tmp[--len])) return -1;
+    return 0;
+}
+
+long rsn_mcc_compress(const uint8_t *in, long n, uint8_t **out_p, long *out_len) {
+    mcc_arena_t arena = {0};
+    buf_t stream, literals;
+    if (buf_init(&stream, (size_t)n * 2 + 64)) return RSN_ERR_ALLOC;
+    if (buf_init(&literals, 256)) { free(stream.p); return RSN_ERR_ALLOC; }
+#define MCC_FAIL(code) do { mcc_arena_free(&arena); free(stream.p); free(literals.p); return (code); } while (0)
+    mcc_state_t *root = mcc_alloc(&arena);
+    if (!root) MCC_FAIL(RSN_ERR_ALLOC);
+    root->is_root = 1;
+    if (mcc_add_tokens(&arena, root)) MCC_FAIL(RSN_ERR_ALLOC);
+    mcc_state_t *state = root;
+    int first = 1;
+
+    for (long pos = 0; pos < n; pos++) {
+        uint8_t b = in[pos];
+        mcc_state_t *match = NULL;
+        for (int i = 0; i < state->n_tr; i++)
+            if (!state->tr[i]->is_tok && state->tr[i]->symbol == b)
+                match = state->tr[i]; /* last match wins (Go loop) */
+
+        if (match) {
+            state = match;
+            if (mcc_emit_index(&stream, mcc_index_in_parent(state), &first))
+                MCC_FAIL(RSN_ERR_ALLOC);
+            state->freq++;
+            mcc_sort(state->parent);
+            continue;
+        }
+
+        int up = mcc_parent_with_symbol(state, b);
+        if (up == -1) {
+            mcc_state_t *ns = mcc_create_state(&arena, b, state);
+            if (!ns) MCC_FAIL(RSN_ERR_ALLOC);
+            mcc_state_t *rd = mcc_tok_state(state, 0);
+            if (!rd) MCC_FAIL(RSN_ERR_FORMAT);
+            if (mcc_emit_index(&stream, mcc_index_in_parent(rd), &first))
+                MCC_FAIL(RSN_ERR_ALLOC);
+            if (buf_push(&literals, b)) MCC_FAIL(RSN_ERR_ALLOC);
+            state = ns;
+        } else {
+            mcc_state_t *orig = state;
+            state = mcc_get_parent(state, up);
+            state->freq++;
+            mcc_sort(state->parent);
+            up += 1;
+            int encoded = 0;
+            for (int i = MCC_HIGHEST_UP; i >= 0; i--) {
+                int magnitude = 1 << i;
+                if (up - magnitude >= 0) {
+                    int divisible = up / magnitude;
+                    for (int k = 0; k < divisible; k++) {
+                        mcc_state_t *ts = mcc_tok_state(orig, magnitude);
+                        if (!ts) MCC_FAIL(RSN_ERR_FORMAT);
+                        if (mcc_emit_index(&stream, mcc_index_in_parent(ts), &first))
+                            MCC_FAIL(RSN_ERR_ALLOC);
+                        up -= magnitude;
+                        /* first "up" enters the current state, so one less */
+                        orig = mcc_get_parent(orig, encoded ? magnitude : magnitude - 1);
+                        encoded = 1;
+                    }
+                }
+            }
+            mcc_state_t *rd = mcc_tok_state(state, 0);
+            if (!rd) MCC_FAIL(RSN_ERR_FORMAT);
+            if (mcc_emit_index(&stream, mcc_index_in_parent(rd), &first))
+                MCC_FAIL(RSN_ERR_ALLOC);
+        }
+    }
+#undef MCC_FAIL
+
+    mcc_arena_free(&arena);
+    if (buf_push(&stream, MCC_SEP) ||
+        buf_append(&stream, literals.p, literals.len)) {
+        free(stream.p);
+        free(literals.p);
+        return RSN_ERR_ALLOC;
+    }
+    free(literals.p);
+    *out_p = stream.p;
+    *out_len = (long)stream.len;
+    return 0;
+}
+
+long rsn_mcc_decompress(const uint8_t *in, long n, uint8_t **out_p, long *out_len) {
+    long sep = -1;
+    for (long i = 0; i < n; i++)
+        if (in[i] == MCC_SEP) { sep = i; break; }
+    if (sep < 0) return RSN_ERR_FORMAT;
+    /* Go strings.Split yields an empty piece for an empty head or a
+     * trailing comma; Atoi("") then panics (mcc.go:401) */
+    if (sep == 0 || in[sep - 1] == ',') return RSN_ERR_FORMAT;
+    const uint8_t *literals = in + sep + 1;
+    long n_lit = n - sep - 1, lit_pos = 0;
+
+    mcc_arena_t arena = {0};
+    buf_t out;
+    if (buf_init(&out, (size_t)n * 2 + 64)) return RSN_ERR_ALLOC;
+#define MCC_DFAIL(code) do { mcc_arena_free(&arena); free(out.p); return (code); } while (0)
+    mcc_state_t *root = mcc_alloc(&arena);
+    if (!root) MCC_DFAIL(RSN_ERR_ALLOC);
+    root->is_root = 1;
+    if (mcc_add_tokens(&arena, root)) MCC_DFAIL(RSN_ERR_ALLOC);
+    mcc_state_t *state = root;
+    int moving_up = 0;
+
+    long p = 0;
+    while (p < sep) {
+        /* Atoi semantics: every comma-separated piece must be a plain int */
+        long q = p;
+        int idx = 0, any = 0;
+        while (q < sep && in[q] != ',') {
+            if (in[q] < '0' || in[q] > '9') MCC_DFAIL(RSN_ERR_FORMAT);
+            idx = idx * 10 + (in[q] - '0');
+            if (idx > 1 << 20) MCC_DFAIL(RSN_ERR_FORMAT);
+            any = 1;
+            q++;
+        }
+        if (!any) MCC_DFAIL(RSN_ERR_FORMAT);
+        p = q + 1;
+
+        if (idx >= state->n_tr) MCC_DFAIL(RSN_ERR_FORMAT);
+        mcc_state_t *child = state->tr[idx];
+        if (child->is_tok) {
+            if (child->token == 0) { /* Read */
+                if (moving_up) {
+                    if (buf_push(&out, state->symbol)) MCC_DFAIL(RSN_ERR_ALLOC);
+                    moving_up = 0;
+                    state->freq++;
+                    mcc_sort(state->parent);
+                } else {
+                    if (lit_pos >= n_lit) MCC_DFAIL(RSN_ERR_FORMAT);
+                    uint8_t symbol = literals[lit_pos++];
+                    if (buf_push(&out, symbol)) MCC_DFAIL(RSN_ERR_ALLOC);
+                    state = mcc_create_state(&arena, symbol, child->parent);
+                    if (!state) MCC_DFAIL(RSN_ERR_ALLOC);
+                }
+            } else {
+                int move_up = child->token;
+                if (!moving_up) { moving_up = 1; move_up -= 1; }
+                for (int k = 0; k < move_up; k++) {
+                    if (!state->parent) MCC_DFAIL(RSN_ERR_FORMAT);
+                    state = state->parent;
+                }
+            }
+        } else {
+            state = child;
+            if (buf_push(&out, state->symbol)) MCC_DFAIL(RSN_ERR_ALLOC);
+            state->freq++;
+            mcc_sort(state->parent);
+        }
+    }
+#undef MCC_DFAIL
+
+    mcc_arena_free(&arena);
+    *out_p = out.p;
+    *out_len = (long)out.len;
+    return 0;
+}

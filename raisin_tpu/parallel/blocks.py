@@ -51,12 +51,15 @@ _DEVICE_PIPELINES = (
 )
 
 # Single-chip batch sizes: the Pallas coder state scales with rows = B/128
-# (VMEM-bound; encode fits 32 rows, decode 16). Batches are kept smaller
-# than the VMEM bound so several are in flight at once: batch k+1's
-# host->device transfer and host prep run under batch k's kernels, and each
-# batch's outputs start their device->host copy as soon as it finishes.
+# (VMEM-bound; encode fits 32 rows, decode 16). Batches are sized in BYTES
+# (~8 MiB of input each, block-count capped) so several are in flight at
+# once regardless of the block size: batch k+1's host->device transfer and
+# host prep run under batch k's kernels, and each batch's outputs start
+# their device->host copy as soon as it finishes.
 ENC_MAXB = 2048
 DEC_MAXB = 1024
+ENC_MAX_BYTES = 8 << 20
+DEC_MAX_BYTES = 8 << 20
 
 _POOL = None
 
@@ -296,19 +299,20 @@ def _enc_batch_assemble(blocks, rows_np, byte_lens, tok_lens, oflow, window):
 def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
     """TPU fast path: fused match+commit+arithmetic with in-kernel packing.
 
-    Single-chip, batches of <= ENC_MAXB blocks per kernel call (the Pallas
-    coder keeps all per-block state in VMEM; 32 sublane rows fit). Every
-    batch's host->device transfer and kernel are dispatched asynchronously
-    BEFORE any result is awaited, so batch k+1's transfer and prep overlap
-    batch k's compute, and the tunnel's ~26 ms round-trip sync latency is
-    paid once, not per batch.
+    Single-chip, batches of ~ENC_MAX_BYTES input bytes per kernel call
+    (capped at ENC_MAXB blocks — the Pallas coder keeps all per-block state
+    in VMEM; 32 sublane rows fit). Every batch's host->device transfer and
+    kernel are dispatched asynchronously BEFORE any result is awaited, so
+    batch k+1's transfer and prep overlap batch k's compute, and the
+    tunnel's ~26 ms round-trip sync latency is paid once, not per batch.
     """
     from raisin_tpu.ops import pipeline_jax
 
     if mesh is not None:
         return _encode_lzss_arith_rows_spmd(blocks, mesh, window)
 
-    maxb = ENC_MAXB
+    bs0 = max(len(blocks[0]), 1)
+    maxb = max(128, min(ENC_MAXB, ENC_MAX_BYTES // bs0 // 128 * 128))
     pend = []
     for i in range(0, len(blocks), maxb):
         part = blocks[i : i + maxb]
@@ -586,9 +590,13 @@ def _decode_lzss_arith_rows(
 
     if mesh is None:
         # the arithmetic decoder keeps the payload word stream VMEM-resident:
-        # (capb/4 words x rows x 128 lanes x 4B) must stay well under VMEM
+        # (capb/4 words x rows x 128 lanes x 4B) must stay well under VMEM;
+        # batches are further sized to ~DEC_MAX_BYTES of OUTPUT so several
+        # pipeline regardless of block size
         capb_all = (max(len(p) for p in payloads) + 511) // 512 * 512
         maxb = max(128, min(DEC_MAXB, (10 << 20) // (capb_all * 128) * 128))
+        out0 = max(max(out_lens), 1)
+        maxb = max(128, min(maxb, DEC_MAX_BYTES // out0 // 128 * 128))
     else:
         maxb = 1024 * _mesh_size(mesh)
 

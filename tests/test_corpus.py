@@ -116,3 +116,16 @@ def test_container_corpus_roundtrip():
         data = CORPUS[name]
         c = compress_container(data, ("lzss", "arithmetic"), block_size=4096)
         assert decompress_container(c) == data
+
+
+def test_mcc_corpus_roundtrip():
+    """MCC (lossless, CLI-advertised) over the fast corpus subset via the
+    native C path — no small-file special-casing (mcc.go:212,321)."""
+    from raisin_tpu.engine.registry import get_codec
+
+    codec = get_codec("mcc")
+    assert codec.backend == "native"
+    for name in FILES_FAST:
+        data = CORPUS[name]
+        comp = codec.compress(data)
+        assert codec.decompress(comp) == data

@@ -62,3 +62,26 @@ def test_registered_as_native_backend():
     assert "native" in available_backends("arithmetic")
     codec = get_codec("arithmetic", backend="native")
     assert codec.compress(VERSE) == arithmetic_ref.compress(VERSE)
+
+
+@pytest.mark.parametrize("payload", CASES)
+def test_native_mcc_matches_oracle(payload):
+    from raisin_tpu.formats import mcc_ref
+
+    got = native.mcc_compress(payload)
+    assert got == mcc_ref.compress(payload)
+    if not payload:
+        # empty input encodes to just the separator, which neither the
+        # reference nor the oracle can decode (Atoi("") panics, mcc.go:401)
+        with pytest.raises(ValueError):
+            native.mcc_decompress(got)
+        return
+    assert native.mcc_decompress(got) == payload
+    assert mcc_ref.decompress(got) == payload
+
+
+def test_native_mcc_rejects_garbage():
+    with pytest.raises(ValueError):
+        native.mcc_decompress(b"12,abc\\xyz")
+    with pytest.raises(ValueError):
+        native.mcc_decompress(b"no separator at all")
