@@ -121,18 +121,31 @@ def _shard_blocks(arr: np.ndarray, mesh) -> jax.Array:
     return jax.device_put(arr, block_sharding(mesh))
 
 
-def _spmd(fn, mesh, n_in: int, n_out: int):
+@functools.lru_cache(maxsize=None)
+def _spmd_cached(fn, mesh, n_in: int, n_out: int, statics):
+    wrapped = functools.partial(fn, **dict(statics)) if statics else fn
+    if mesh is None:
+        return wrapped
+    spec_in = tuple(P("data") for _ in range(n_in))
+    spec_out = tuple(P("data") for _ in range(n_out))
+    # the outer jit is load-bearing: an un-jitted shard_map call runs in the
+    # eager SPMD interpreter, several times slower than the compiled
+    # partitioned module — and the whole wrapper must be CACHED, because a
+    # fresh jit object per call would retrace every time
+    return jax.jit(
+        jax.shard_map(wrapped, mesh=mesh, in_specs=spec_in, out_specs=spec_out, check_vma=False)
+    )
+
+
+def _spmd(fn, mesh, n_in: int, n_out: int, **statics):
     """Run a vmapped block kernel SPMD over the mesh 'data' axis.
 
     Blocks are embarrassingly parallel, so each device simply runs the plain
     kernel on its local shard (explicit shard_map rather than relying on
-    sharding inference through the scan).
+    sharding inference through the scan). ``statics`` are keyword args bound
+    into the kernel (they form part of the cache key).
     """
-    if mesh is None:
-        return fn
-    spec_in = tuple(P("data") for _ in range(n_in))
-    spec_out = tuple(P("data") for _ in range(n_out))
-    return jax.shard_map(fn, mesh=mesh, in_specs=spec_in, out_specs=spec_out, check_vma=False)
+    return _spmd_cached(fn, mesh, n_in, n_out, tuple(sorted(statics.items())))
 
 
 def _pad_block_count(b: int, mesh, align: int = 1) -> int:
@@ -206,14 +219,9 @@ def _encode_arithmetic_batch(blocks: list[bytes], mesh) -> list[bytes]:
         (bound * n, bound_bits),
     ):
         enc = _spmd(
-            functools.partial(
-                arithmetic_scan.encode_blocks_packed,
-                num_steps=steps,
-                cap_bytes=cap // n,
-                max_bits=mbits,
-                use_pallas=use_pallas,
-            ),
-            mesh, 2, 2,
+            arithmetic_scan.encode_blocks_packed, mesh, 2, 2,
+            num_steps=steps, cap_bytes=cap // n, max_bits=mbits,
+            use_pallas=use_pallas,
         )
         flat, byte_lens = enc(_shard_blocks(payload, mesh), _shard_blocks(lengths, mesh))
         byte_lens = np.asarray(byte_lens)
@@ -375,16 +383,11 @@ def _encode_lzss_arith_rows_spmd(blocks: list[bytes], mesh, window: int = 4096):
     x, lengths, S = _escaped_blocks(blocks, mesh, align=128)
     steps = (S + 8 + 511) // 512 * 512
     for capw in (_capw_bucket(9 * steps + 64), _capw_bucket(18 * steps)):
+        # XLA tiled-scan match (use_pallas_match=False): ~10x the v2 Pallas
+        # kernel at 4 KiB blocks on v5e (BENCH notes); revisit with v3
         fn = _spmd(
-            functools.partial(
-                pipeline_jax.lzss_arith_encode_rows,
-                window=window,
-                capw=capw,
-                # XLA tiled-scan match is ~10x the v2 Pallas kernel at 4 KiB
-                # blocks on v5e (BENCH notes); revisit with match kernel v3
-                use_pallas_match=False,
-            ),
-            mesh, 2, 4,
+            pipeline_jax.lzss_arith_encode_rows, mesh, 2, 4,
+            window=window, capw=capw, use_pallas_match=False,
         )
         rows, byte_lens, tok_lens, oflow = fn(
             _shard_blocks(x, mesh), _shard_blocks(lengths, mesh)
@@ -422,10 +425,7 @@ def _encode_arithmetic_rows(blocks: list[bytes], mesh) -> list[bytes]:
         payload[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
         lengths[i] = len(b)
     for capw in (_capw_bucket(9 * steps + 64), _capw_bucket(18 * steps)):
-        fn = _spmd(
-            functools.partial(pipeline_jax.arith_encode_rows, capw=capw),
-            mesh, 2, 3,
-        )
+        fn = _spmd(pipeline_jax.arith_encode_rows, mesh, 2, 3, capw=capw)
         rows, byte_lens, oflow = fn(
             _shard_blocks(payload, mesh), _shard_blocks(lengths, mesh)
         )
@@ -458,14 +458,9 @@ def _encode_lzss_pipeline(blocks: list[bytes], mesh, with_arith: bool, window: i
         caps = ((S * (B // n) + 16) * n,)  # tokens never exceed the input
     for cap in caps:
         fn = _spmd(
-            functools.partial(
-                pipeline_jax.lzss_encode_packed,
-                window=window,
-                cap_bytes=cap // n,
-                use_pallas=_use_pallas(),
-                with_arith=with_arith,
-            ),
-            mesh, 2, 3,
+            pipeline_jax.lzss_encode_packed, mesh, 2, 3,
+            window=window, cap_bytes=cap // n, use_pallas=_use_pallas(),
+            with_arith=with_arith,
         )
         flat, out_lens, tok_lens = fn(_shard_blocks(x, mesh), _shard_blocks(lengths, mesh))
         out_lens = np.asarray(out_lens)
@@ -508,15 +503,7 @@ def _decode_arithmetic_rows(payloads: list[bytes], out_lens: list[int], mesh) ->
         prows[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
         blens[i] = len(p)
         olens[i] = out_lens[i]
-    dec = functools.partial(ap.decode_rows, num_steps=steps)
-    if mesh is not None:
-        dec = jax.shard_map(
-            dec,
-            mesh=mesh,
-            in_specs=(P("data"), P("data"), P("data")),
-            out_specs=(P("data"), P("data")),
-            check_vma=False,
-        )
+    dec = _spmd(ap.decode_rows, mesh, 3, 2, num_steps=steps)
     syms, eof = dec(_shard_blocks(prows, mesh), _shard_blocks(blens, mesh), _shard_blocks(olens, mesh))
     syms = np.asarray(syms)
     eof = np.asarray(eof)
@@ -634,28 +621,31 @@ def _decode_arithmetic_batch(payloads: list[bytes], out_lens: list[int], mesh) -
     if _use_pallas() and max(len(p) for p in payloads) <= 8192:
         return _decode_arithmetic_rows(payloads, out_lens, mesh)
     B = _pad_block_count(len(payloads), mesh)
+    n = _mesh_size(mesh)
+    per_seg = B // n
     lens = np.zeros(B, dtype=np.int32)
     outl = np.zeros(B, dtype=np.int32)
     for i, p in enumerate(payloads):
         lens[i] = len(p)
         outl[i] = out_lens[i]
-    offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int32)
-    flat = np.concatenate([np.frombuffer(p, dtype=np.uint8) for p in payloads] + [np.zeros(16, np.uint8)])
+    # per-device payload segments with LOCAL offsets: each shard holds only
+    # its own bytes (a replicated flat buffer would broadcast the whole
+    # stream to every device and serialize the readback)
+    seg_lens = lens.reshape(n, per_seg)
+    ends = np.cumsum(seg_lens, axis=1)
+    offs = (ends - seg_lens).astype(np.int32).reshape(B)
+    cap_local = _bucket(int(ends[:, -1].max()) + 16, base=128)
+    flat = np.zeros(n * cap_local, dtype=np.uint8)
+    for i, p in enumerate(payloads):
+        seg, _ = divmod(i, per_seg)
+        base = seg * cap_local + offs[i]
+        flat[base : base + len(p)] = np.frombuffer(p, dtype=np.uint8)
     steps = _bucket(max(out_lens) + 1)
     max_bytes = _bucket(int(lens.max()), base=128)
-    dec = functools.partial(
-        arithmetic_scan.decode_blocks_packed, num_steps=steps, max_bytes=max_bytes
+    dec = _spmd(
+        arithmetic_scan.decode_blocks_packed, mesh, 4, 2,
+        num_steps=steps, max_bytes=max_bytes,
     )
-    if mesh is not None:
-        from jax.sharding import PartitionSpec as P
-
-        dec = jax.shard_map(
-            dec,
-            mesh=mesh,
-            in_specs=(P(), P("data"), P("data"), P("data")),
-            out_specs=(P("data"), P("data")),
-            check_vma=False,
-        )
     syms, eof_ok = dec(flat, offs, lens, outl)
     syms = np.asarray(syms)
     eof_ok = np.asarray(eof_ok)
