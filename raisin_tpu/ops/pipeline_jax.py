@@ -73,6 +73,42 @@ def lzss_encode_packed(
     return flat, byte_lens, tok_len
 
 
+@functools.partial(jax.jit, static_argnames=("window", "use_pallas_match"))
+def lzss_tokens_words(
+    x: jax.Array, lengths: jax.Array, window: int, use_pallas_match: bool
+):
+    """Match + commit only: packed token words out, arith dispatched later.
+
+    Splitting the pipeline here lets the caller read max(tok_len) (a tiny
+    sync that overlaps the next batch's kernels) and run the arithmetic
+    scan at a TIGHT steps bucket — the token stream is typically ~40-60% of
+    S, so a fused S-sized scan wastes about half the arithmetic stage on
+    EOF padding.
+    """
+    B, S = x.shape
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    xi = jnp.where(pos < lengths[:, None], x.astype(jnp.int32), -1)
+    L, D = _matches(xi, lengths, window, use_pallas_match)
+    from raisin_tpu.ops import lzss_commit_pallas
+
+    return lzss_commit_pallas.commit_emit_words(xi, L, D, lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "capw"))
+def arith_rows_from_words(tokw: jax.Array, tok_len: jax.Array, steps: int, capw: int):
+    """Arithmetic stage over packed token words at a caller-chosen scan
+    length (steps > max(tok_len), CHUNK-aligned)."""
+    from raisin_tpu.ops import arithmetic_pallas
+
+    B, Sw = tokw.shape
+    need_w = steps // 4
+    if need_w <= Sw:
+        tokwp = jax.lax.slice_in_dim(tokw, 0, need_w, axis=1)
+    else:
+        tokwp = jnp.pad(tokw, ((0, 0), (0, need_w - Sw)))
+    return arithmetic_pallas.encode_rows_from_words(tokwp, tok_len, steps, capw)
+
+
 @functools.partial(jax.jit, static_argnames=("window", "capw", "use_pallas_match"))
 def lzss_arith_encode_rows(
     x: jax.Array,

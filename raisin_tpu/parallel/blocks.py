@@ -13,7 +13,7 @@ exact single-stream `.rsn` payload of the layered pipeline, so:
 
 Layout (little-endian):
   magic "RSNB" | version u8 | algo_len u8 | algo CSV | block_size u32 |
-  orig_size u64 | num_blocks u32 | num_aux u8 |
+  window u32 (v2+) | orig_size u64 | num_blocks u32 | num_aux u8 |
   num_blocks × u32 payload sizes |
   num_aux × (num_blocks × u32) auxiliary per-block lengths |
   concatenated payloads
@@ -39,7 +39,7 @@ from raisin_tpu.formats.lzss_ref import encode_opening_symbols
 from raisin_tpu.ops import arithmetic_scan
 
 MAGIC = b"RSNB"
-VERSION = 1
+VERSION = 2  # v2 adds the LZSS window u32 (v1 files parse as window=4096)
 DEFAULT_BLOCK_SIZE = 1 << 16
 
 _DEVICE_PIPELINES = (
@@ -321,38 +321,48 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
 
     bs0 = max(len(blocks[0]), 1)
     maxb = max(128, min(ENC_MAXB, ENC_MAX_BYTES // bs0 // 128 * 128))
+
+    # stage 0: dispatch match+commit for every batch (h2d of batch k+1
+    # overlaps batch k's kernels)
     pend = []
     for i in range(0, len(blocks), maxb):
         part = blocks[i : i + maxb]
         x, lengths, S = _escaped_blocks(part, None, align=128)
-        steps = (S + 8 + 511) // 512 * 512
-        capw = _capw_bucket(9 * steps + 64)
         dx = _device_put_big(x)
         dl = jax.device_put(lengths)
-        out = pipeline_jax.lzss_arith_encode_rows(
-            dx, dl, window=window, capw=capw, use_pallas_match=False
+        tokw, tok_len = pipeline_jax.lzss_tokens_words(
+            dx, dl, window=window, use_pallas_match=False
         )
-        pend.append((part, dx, dl, steps, capw, out))
+        pend.append((part, S, tokw, tok_len))
 
-    # stage 1: as each batch finishes, read its (tiny) length vectors and
+    # stage 1: per batch, read max(tok_len) (a tiny sync riding under the
+    # later batches' kernels) and dispatch the arithmetic stage at a TIGHT
+    # steps bucket — the token stream is well under S for compressible data
+    pend2 = []
+    for part, S, tokw, tok_len in pend:
+        tl = np.asarray(tok_len)
+        steps = max(512, (int(tl.max()) + 1 + 511) // 512 * 512)
+        capw = _capw_bucket(9 * steps + 64)
+        out = pipeline_jax.arith_rows_from_words(tokw, tok_len, steps, capw)
+        pend2.append((part, tokw, tok_len, tl, steps, capw, out))
+
+    # stage 2: as each batch finishes, read its (tiny) length vectors and
     # kick off the async device->host copy of the payload prefix, so batch
     # k's readback rides under batch k+1..n's kernels
     staged = []
-    for part, dx, dl, steps, capw, (rows, byte_lens, tok_lens, oflow) in pend:
+    for part, tokw, tok_len, tl, steps, capw, (rows, byte_lens, oflow) in pend2:
         bl = np.asarray(byte_lens)
         if int(bl.max()) > capw * 4:
             # capacity overflow (pathological data): re-run this batch at the
             # proven worst-case bits/step bound
             capw2 = _capw_bucket(18 * steps)
-            rows, byte_lens, tok_lens, oflow = pipeline_jax.lzss_arith_encode_rows(
-                dx, dl, window=window, capw=capw2, use_pallas_match=False
+            rows, byte_lens, oflow = pipeline_jax.arith_rows_from_words(
+                tokw, tok_len, steps, capw2
             )
             bl = np.asarray(byte_lens)
             if int(bl.max()) > capw2 * 4:
                 raise ValueError("container: capw overflow at 18 bits/step")
-        staged.append(
-            (part, _rows_prefix(rows, bl), bl, np.asarray(tok_lens), np.asarray(oflow))
-        )
+        staged.append((part, _rows_prefix(rows, bl), bl, tl, np.asarray(oflow)))
 
     payloads: list[bytes] = []
     toks: list[int] = []
@@ -679,12 +689,17 @@ def compress_container(
     algorithms = tuple(algorithms)
     blocks = [data[i : i + block_size] for i in range(0, len(data), block_size)] or [b""]
 
+    # the device kernels pack (L, D) / distances in <= 13-14 bit fields
+    # (lzss_jax 14-bit match pack, lzss_decode_pallas 13-bit walk); larger
+    # windows take the window-honoring host path below
+    lz_device = window <= 8191
+
     aux: list[list[int]] = []
     if algorithms == ("arithmetic",):
         payloads = _encode_arithmetic_batch(blocks, mesh)
-    elif algorithms == ("lzss",):
+    elif algorithms == ("lzss",) and lz_device:
         payloads = _encode_lzss_batch(blocks, mesh, window)
-    elif algorithms == ("lzss", "arithmetic"):
+    elif algorithms == ("lzss", "arithmetic") and lz_device:
         payloads, inter_lens = _encode_lzss_arithmetic_batch(blocks, mesh, window)
         aux.append(inter_lens)
     elif algorithms == ("huffman",):
@@ -698,15 +713,16 @@ def compress_container(
         payloads = huffman_blocks.encode_blocks(tokens)
         aux.append([len(t) for t in tokens])
     else:
-        # host fallback: any registered pipeline, still block-split
+        # host fallback: any registered pipeline, still block-split (window
+        # honored for lzss layers)
         from raisin_tpu.engine.core import compress_bytes
 
-        payloads = [compress_bytes(b, algorithms) for b in blocks]
+        payloads = [compress_bytes(b, algorithms, window=window) for b in blocks]
 
     algo_str = ",".join(algorithms).encode("ascii")
     head = MAGIC + struct.pack(
         "<BB", VERSION, len(algo_str)
-    ) + algo_str + struct.pack("<IQIB", block_size, len(data), len(payloads), len(aux))
+    ) + algo_str + struct.pack("<IIQIB", block_size, window, len(data), len(payloads), len(aux))
     sizes = struct.pack(f"<{len(payloads)}I", *(len(p) for p in payloads))
     aux_tables = b"".join(struct.pack(f"<{len(t)}I", *t) for t in aux)
     return head + sizes + aux_tables + b"".join(payloads)
@@ -716,13 +732,20 @@ def parse_container(data: bytes):
     if data[:4] != MAGIC:
         raise ValueError("not an RSNB container")
     version, algo_len = struct.unpack_from("<BB", data, 4)
-    if version != VERSION:
+    if version not in (1, VERSION):
         raise ValueError(f"unsupported RSNB version {version}")
     pos = 6
     algorithms = tuple(data[pos : pos + algo_len].decode("ascii").split(","))
     pos += algo_len
-    block_size, orig_size, num_blocks, num_aux = struct.unpack_from("<IQIB", data, pos)
-    pos += 17
+    if version == 1:
+        block_size, orig_size, num_blocks, num_aux = struct.unpack_from("<IQIB", data, pos)
+        window = 4096
+        pos += 17
+    else:
+        block_size, window, orig_size, num_blocks, num_aux = struct.unpack_from(
+            "<IIQIB", data, pos
+        )
+        pos += 21
     sizes = struct.unpack_from(f"<{num_blocks}I", data, pos)
     pos += 4 * num_blocks
     aux = []
@@ -733,12 +756,12 @@ def parse_container(data: bytes):
     for s in sizes:
         payloads.append(data[pos : pos + s])
         pos += s
-    return algorithms, block_size, orig_size, payloads, aux
+    return algorithms, block_size, orig_size, payloads, aux, window
 
 
 def decompress_container(data: bytes, mesh=None) -> bytes:
     """Block-parallel decode of an RSNB container."""
-    algorithms, block_size, orig_size, payloads, aux = parse_container(data)
+    algorithms, block_size, orig_size, payloads, aux, window = parse_container(data)
     out_lens = [
         min(block_size, orig_size - i * block_size) for i in range(len(payloads))
     ]
@@ -753,6 +776,7 @@ def decompress_container(data: bytes, mesh=None) -> bytes:
             _use_pallas()
             and max(len(p) for p in payloads) <= 32768
             and max(out_lens_i) <= 32768
+            and window <= 8191  # token-decode kernel packs D in 13 bits
         ):
             # fully-device decode: arithmetic + LZSS token parse in Pallas
             blocks = _decode_lzss_arith_rows(payloads, aux[0], out_lens_i, mesh)

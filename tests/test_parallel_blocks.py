@@ -36,7 +36,7 @@ def test_container_binary():
 def test_container_metadata():
     data = VERSE * 10
     c = compress_container(data, ("lzss", "arithmetic"), block_size=1024)
-    algorithms, block_size, orig_size, payloads, aux = parse_container(c)
+    algorithms, block_size, orig_size, payloads, aux, window = parse_container(c)
     assert algorithms == ("lzss", "arithmetic")
     assert block_size == 1024
     assert orig_size == len(data)
@@ -50,7 +50,7 @@ def test_container_blocks_are_reference_format():
 
     data = random_text(5_000, seed=82)
     c = compress_container(data, ("arithmetic",), block_size=2048)
-    _, block_size, _, payloads, _ = parse_container(c)
+    _, block_size, _, payloads, _, _ = parse_container(c)
     for i, p in enumerate(payloads):
         block = data[i * block_size : (i + 1) * block_size]
         assert p == arithmetic_ref.compress(block)
@@ -78,7 +78,7 @@ def test_mesh_padding_of_ragged_block_counts():
 def test_container_lzss_huffman_roundtrip():
     data = random_text(10_000, seed=85)
     c = compress_container(data, ("lzss", "huffman"), block_size=2048)
-    algorithms, _, _, payloads, aux = parse_container(c)
+    algorithms, _, _, payloads, aux, _ = parse_container(c)
     assert algorithms == ("lzss", "huffman")
     assert len(aux) == 1  # lzss token-stream lengths
     assert decompress_container(c) == data
@@ -90,7 +90,7 @@ def test_container_huffman_blocks_are_reference_format():
 
     data = random_text(6_000, seed=86)
     c = compress_container(data, ("huffman",), block_size=2048)
-    _, block_size, _, payloads, _ = parse_container(c)
+    _, block_size, _, payloads, _, _ = parse_container(c)
     for i, p in enumerate(payloads):
         block = data[i * block_size : (i + 1) * block_size]
         assert p == huffman_ref.compress(block)
@@ -112,7 +112,7 @@ def test_container_window_parameter():
 
     data = random_text(9_000, seed=87)
     c = compress_container(data, ("lzss", "arithmetic"), block_size=4096, window=1024)
-    _, block_size, _, payloads, _ = parse_container(c)
+    _, block_size, _, payloads, _, _ = parse_container(c)
     for i, p in enumerate(payloads):
         block = data[i * block_size : (i + 1) * block_size]
         assert p == arithmetic_ref.compress(lzss_ref.compress(block, 1024))
