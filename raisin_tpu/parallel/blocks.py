@@ -64,6 +64,19 @@ DEC_MAX_BYTES = 8 << 20
 _POOL = None
 
 
+def _progress(done: int, total: int, label: str = "blocks") -> None:
+    """Reference-parity progress reporting (the Go LZSS writer shows a bar,
+    lzss.go:113-115): a single self-overwriting stderr line, only when
+    stderr is a tty and the job is big enough to care."""
+    import sys
+
+    if total < 8 or not sys.stderr.isatty():
+        return
+    pct = 100 * done // total
+    end = "\n" if done >= total else ""
+    print(f"\r  {label}: {done}/{total} ({pct}%)", file=sys.stderr, end=end, flush=True)
+
+
 def _pool() -> concurrent.futures.ThreadPoolExecutor:
     global _POOL
     if _POOL is None:
@@ -370,6 +383,7 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
         p, t = _enc_batch_assemble(part, np.asarray(sl), bl, tl, of, window)
         payloads.extend(p)
         toks.extend(t)
+        _progress(len(payloads), len(blocks))
     return payloads, toks
 
 
@@ -717,7 +731,10 @@ def compress_container(
         # honored for lzss layers)
         from raisin_tpu.engine.core import compress_bytes
 
-        payloads = [compress_bytes(b, algorithms, window=window) for b in blocks]
+        payloads = []
+        for b in blocks:
+            payloads.append(compress_bytes(b, algorithms, window=window))
+            _progress(len(payloads), len(blocks))
 
     algo_str = ",".join(algorithms).encode("ascii")
     head = MAGIC + struct.pack(
