@@ -290,18 +290,36 @@ def _capw_bucket(bits: int) -> int:
 
 def _rows_prefix(rows_dev, byte_lens: np.ndarray):
     """Slice device rows to the prefix of columns any block actually uses
-    and start its device->host copy (overlaps later batches' compute)."""
+    and start its device->host copy (overlaps later batches' compute).
+
+    Returns a list of row-chunks whose async copies were issued from
+    separate pool threads (parallel tunnel streams, ~2x one stream)."""
     need_w = int((int(byte_lens.max()) + 3) // 4 + 1)
     need_w = min(((need_w + 127) // 128) * 128, rows_dev.shape[1])
     sl = rows_dev[:, :need_w]
-    sl.copy_to_host_async()
-    return sl
+    if sl.size * 4 < (4 << 20):
+        sl.copy_to_host_async()
+        return [sl]
+    rows = sl.shape[0]
+    step = (rows + 3) // 4
+    chunks = [sl[i : i + step] for i in range(0, rows, step)]
+
+    def _start(c):
+        c.copy_to_host_async()
+        return c
+
+    return list(_pool().map(_start, chunks))
+
+
+def _chunks_np(chunks) -> np.ndarray:
+    parts = list(_pool().map(np.asarray, chunks))
+    return parts[0] if len(parts) == 1 else np.vstack(parts)
 
 
 def _rows_payloads(rows_dev, byte_lens: np.ndarray, count: int) -> list[bytes]:
     """Fetch per-block `.rsn` payload bytes from device rows, transferring
     only the prefix of columns that any block actually uses."""
-    rows_np = np.asarray(_rows_prefix(rows_dev, byte_lens))
+    rows_np = _chunks_np(_rows_prefix(rows_dev, byte_lens))
     return [rows_np[i].tobytes()[: byte_lens[i]] for i in range(count)]
 
 
@@ -380,7 +398,7 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
     payloads: list[bytes] = []
     toks: list[int] = []
     for part, sl, bl, tl, of in staged:
-        p, t = _enc_batch_assemble(part, np.asarray(sl), bl, tl, of, window)
+        p, t = _enc_batch_assemble(part, _chunks_np(sl), bl, tl, of, window)
         payloads.extend(p)
         toks.extend(t)
         _progress(len(payloads), len(blocks))
@@ -542,7 +560,9 @@ def _decode_arithmetic_rows(payloads: list[bytes], out_lens: list[int], mesh) ->
 def _dec_stage(payload_count, rows, olens_dev, eof_dev):
     """Per-batch post-kernel staging: read the tiny length/eof vectors and
     start the async device->host copy of the decoded rows (rides under the
-    remaining batches' kernels)."""
+    remaining batches' kernels). The copy is split into 4 row-chunks whose
+    async transfers are issued from separate pool threads — the tunnel runs
+    ~22 MB/s per stream but ~40 MB/s with parallel streams."""
     olens = np.asarray(olens_dev)[:payload_count]
     eof = np.asarray(eof_dev)
     if not eof[:payload_count].all():
@@ -550,18 +570,67 @@ def _dec_stage(payload_count, rows, olens_dev, eof_dev):
         raise ValueError(f"container: block {bad} missing EOF symbol")
     need_w = min(((int(olens.max()) + 3) // 4 + 128) // 128 * 128, rows.shape[1])
     sl = rows[:payload_count, :need_w]
-    sl.copy_to_host_async()
-    return sl, olens
+    if sl.size * 4 < (4 << 20):
+        sl.copy_to_host_async()
+        return [sl], olens
+    n = 4
+    step = (payload_count + n - 1) // n
+    chunks = [sl[i : i + step] for i in range(0, payload_count, step)]
+
+    def _start(c):
+        c.copy_to_host_async()
+        return c
+
+    return list(_pool().map(_start, chunks)), olens
 
 
-def _dec_tail(payload_count, out_lens, rows_sl, olens) -> bytes:
-    """Escape-decode + verify + join for one decoded batch (vectorized)."""
+def _dec_tail(payload_count, out_lens, row_chunks, olens) -> bytes:
+    """Escape-decode + verify + join for one decoded batch (vectorized).
+
+    ``row_chunks`` is a list of device-array row slices whose host copies
+    were started asynchronously in _dec_stage; fetching them here from pool
+    threads keeps the tunnel streams parallel."""
     from raisin_tpu.formats.lzss_ref import decode_opening_symbols_np
 
-    rows_np = np.asarray(rows_sl)
+    parts_np = list(_pool().map(np.asarray, row_chunks))
+    exp = np.asarray(out_lens[:payload_count], dtype=np.int64)
+    bs_u = int(exp[0]) if payload_count else 0
+    width = parts_np[0].shape[1] * 4 if parts_np else 0
+    uniform = (
+        payload_count > 0
+        and bs_u <= width
+        and bool((exp[:-1] == bs_u).all())
+        and int(exp[-1]) <= bs_u
+        and np.array_equal(olens.astype(np.int64), exp)
+    )
+    if uniform:
+        # common case: every block decodes to exactly block_size bytes (the
+        # last possibly shorter) and the escape layer changed no lengths.
+        # The join is then a contiguous 2D copy per chunk — no boolean-mask
+        # gather over the padded matrix.
+        pieces = []
+        done = 0
+        clean = True
+        for chunk in parts_np:
+            u8c = chunk.view(np.uint8)
+            rows_here = chunk.shape[0]
+            body = u8c[:, :bs_u].copy()  # copy: keep the chunk pristine for fallback
+            if done + rows_here == payload_count and int(exp[-1]) < bs_u:
+                tail_len = int(exp[-1])
+                body = body.reshape(-1)[: (rows_here - 1) * bs_u + tail_len]
+            else:
+                body = body.reshape(-1)
+            if (body == 0x5C).any():
+                clean = False
+                break
+            np.copyto(body, 0x3C, where=body == 0xFF)
+            pieces.append(body)
+            done += rows_here
+        if clean:
+            return b"".join(p.tobytes() for p in pieces)
+    rows_np = parts_np[0] if len(parts_np) == 1 else np.vstack(parts_np)
     u8 = rows_np.view(np.uint8)  # (count, need_w * 4) little-endian bytes
     mask = np.arange(u8.shape[1], dtype=np.int32)[None, :] < olens[:, None]
-    exp = np.asarray(out_lens[:payload_count], dtype=np.int64)
     if not ((u8 == 0x5C) & mask).any():
         # no escape pairs anywhere: the escape decode is a pure byte map
         # (0xFF -> '<') and lengths are preserved, so one flat pass does
