@@ -354,7 +354,9 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
     maxb = max(128, min(ENC_MAXB, ENC_MAX_BYTES // bs0 // 128 * 128))
 
     # stage 0: dispatch match+commit for every batch (h2d of batch k+1
-    # overlaps batch k's kernels)
+    # overlaps batch k's kernels). NB: moving this loop onto background
+    # threads was tried and measured SLOWER (GIL contention between numpy
+    # prep and the transfer threads); keep it sequential.
     pend = []
     for i in range(0, len(blocks), maxb):
         part = blocks[i : i + maxb]
