@@ -165,7 +165,7 @@ def device_stage_breakdown(data: bytes, block: int, window: int, encode_s: float
         lambda: pipeline_jax.arith_rows_from_words(tokw, tok_len, steps, capw),
     )
     bl = np.asarray(byte_lens)
-    timeit("d2h_payload_s", lambda: np.asarray(blk._rows_prefix(rows, bl)))
+    timeit("d2h_payload_s", lambda: blk._chunks_np(blk._rows_prefix(rows, bl)))
 
     ssum = round(sum(stages.values()), 4)
     equiv = round(encode_s * batch_bytes / len(data), 4)
