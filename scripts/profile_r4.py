@@ -10,10 +10,15 @@ import functools
 import os
 import time
 
+import sys
+
 import numpy as np
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 MB = float(os.environ.get("MB", "4"))
-BS = int(os.environ.get("BS", "4096"))
+BS = int(os.environ.get("BS", "16384"))
+WIN = int(os.environ.get("WIN", "2048"))
 ITERS = int(os.environ.get("ITERS", "3"))
 
 
@@ -56,7 +61,7 @@ def main():
 
     # end-to-end reference points
     sec, container = t(
-        lambda: compress_container(data, ("lzss", "arithmetic"), block_size=BS)
+        lambda: compress_container(data, ("lzss", "arithmetic"), block_size=BS, window=WIN)
     )
     print(f"encode e2e s: {sec:.4f}  ({len(data)/sec/1e6:.2f} MB/s)", flush=True)
     sec, out = t(lambda: decompress_container(container))
@@ -82,7 +87,7 @@ def main():
     _, xi = t(to_i32, dx, dl)
     fm = jax.jit(
         functools.partial(
-            lzss_jax.find_matches_blocks, window=4096, num_steps=S // lzss_jax.TILE
+            lzss_jax.find_matches_blocks, window=WIN, num_steps=S // lzss_jax.TILE
         )
     )
     sec, (L, D) = t(fm, xi, dl)
