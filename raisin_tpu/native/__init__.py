@@ -57,6 +57,8 @@ def _load():
         ("rsn_arith_decompress", []),
         ("rsn_mcc_compress", []),
         ("rsn_mcc_decompress", []),
+        ("rsn_dmc_compress", []),
+        ("rsn_dmc_decompress", []),
     ):
         fn = getattr(lib, name)
         fn.argtypes = [ctypes.c_char_p, ctypes.c_long] + extra + [
@@ -76,9 +78,14 @@ def _call(fn_name: str, data: bytes, *extra) -> bytes:
         data, ctypes.c_long(len(data)), *extra, ctypes.byref(out_p), ctypes.byref(out_len)
     )
     if rc != 0:
-        # mirror the host oracles' messages (RSN_ERR_ALLOC=-1, RSN_ERR_FORMAT=-2)
+        # mirror the host oracles' messages (RSN_ERR_ALLOC=-1, RSN_ERR_FORMAT=-2,
+        # RSN_ERR_DMC=-3)
         if rc == -2:
             raise ValueError(f"{fn_name}: malformed stream (ended without EOF symbol?)")
+        if rc == -3:
+            from raisin_tpu.formats.dmc_ref import DmcError
+
+            raise DmcError("dmc: stack emptied or no transition (reference panics)")
         raise MemoryError(f"{fn_name}: native allocation failure")
     try:
         return ctypes.string_at(out_p, out_len.value)
@@ -110,6 +117,15 @@ def mcc_decompress(data: bytes) -> bytes:
     return _call("rsn_mcc_decompress", data)
 
 
+def dmc_compress(data: bytes) -> bytes:
+    return _call("rsn_dmc_compress", data)
+
+
+def dmc_decompress(data: bytes) -> bytes:
+    """Reference-parity stub (dmc.go:274): always b"Hello!"."""
+    return _call("rsn_dmc_decompress", data)
+
+
 def register() -> None:
     """Register native backends (called by engine.registry on import)."""
     from raisin_tpu.engine.registry import register_backend
@@ -118,3 +134,4 @@ def register() -> None:
     register_backend("lzss", "native", lzss_compress, lzss_decompress)
     register_backend("arithmetic", "native", arith_compress, arith_decompress)
     register_backend("mcc", "native", mcc_compress, mcc_decompress)
+    register_backend("dmc", "native", dmc_compress, dmc_decompress)

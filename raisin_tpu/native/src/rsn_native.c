@@ -738,3 +738,236 @@ long rsn_mcc_decompress(const uint8_t *in, long n, uint8_t **out_p, long *out_le
     *out_len = (long)out.len;
     return 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* DMC ("dynamic Markov chain"), compress-only codec.
+ *
+ * Native port of formats/dmc_ref.py (itself parity with the reference
+ * compressor/dmc/dmc.go): build a Markov tree with MoveUp links over the
+ * input (dmc.go:32), stable-sort children by occurrences (dmc.go:196),
+ * re-walk the input emitting one little-endian int8 per non-implicit
+ * transition with a [-2, count] end marker (dmc.go:79-83,148). The file
+ * decoder is a stub by reference parity (dmc.go:274). */
+
+#define RSN_ERR_DMC -3
+
+typedef struct {
+    int32_t value;
+    int32_t occ;
+    int32_t move_up;
+    int32_t nchild, ccap;
+    int32_t *children; /* arena indices */
+} dmc_node_t;
+
+typedef struct {
+    dmc_node_t *nodes;
+    long n, cap;
+} dmc_arena_t;
+
+static long dmc_new_node(dmc_arena_t *a, int value, int occ, int move_up) {
+    if (a->n >= a->cap) return -1; /* arena pre-sized to 2*n_in + 2 */
+    dmc_node_t *nd = &a->nodes[a->n];
+    nd->value = value;
+    nd->occ = occ;
+    nd->move_up = move_up;
+    nd->nchild = 0;
+    nd->ccap = 0;
+    nd->children = NULL;
+    return a->n++;
+}
+
+static int dmc_push_child(dmc_arena_t *a, long ni, long child) {
+    dmc_node_t *nd = &a->nodes[ni];
+    if (nd->nchild >= nd->ccap) {
+        int ncap = nd->ccap ? nd->ccap * 2 : 4;
+        int32_t *p = (int32_t *)realloc(nd->children, sizeof(int32_t) * (size_t)ncap);
+        if (!p) return -1;
+        nd->children = p;
+        nd->ccap = ncap;
+    }
+    nd->children[nd->nchild++] = (int32_t)child;
+    return 0;
+}
+
+static int dmc_child_by_value(const dmc_arena_t *a, long ni, int val) {
+    const dmc_node_t *nd = &a->nodes[ni];
+    for (int i = 0; i < nd->nchild; i++)
+        if (a->nodes[nd->children[i]].value == val) return i;
+    return -1;
+}
+
+static int dmc_child_by_moveup(const dmc_arena_t *a, long ni, int mu) {
+    const dmc_node_t *nd = &a->nodes[ni];
+    for (int i = 0; i < nd->nchild; i++)
+        if (a->nodes[nd->children[i]].move_up == mu) return i;
+    return -1;
+}
+
+static void dmc_arena_free(dmc_arena_t *a) {
+    for (long i = 0; i < a->n; i++) free(a->nodes[i].children);
+    free(a->nodes);
+}
+
+/* build_chain (dmc.go:36-67 / dmc_ref.build_chain); returns root index or
+ * a negative error */
+static long dmc_build(dmc_arena_t *a, const uint8_t *in, long n_in,
+                      int32_t *stack) {
+    long root = dmc_new_node(a, 0, 0, 0); /* Go zero-value root */
+    if (root < 0) return RSN_ERR_ALLOC;
+    long sp = 0;
+    stack[sp++] = (int32_t)root;
+    for (long pos = 0; pos < n_in; pos++) {
+        int b = in[pos];
+        long up_idx = -1;
+        for (long i = sp - 1; i >= 0; i--)
+            if (a->nodes[stack[i]].value == b) { up_idx = i; break; }
+        if (up_idx != -1) {
+            long top = stack[sp - 1];
+            int mu = (int)(sp - up_idx);
+            int mi = dmc_child_by_moveup(a, top, mu);
+            if (mi == -1) {
+                long child = dmc_new_node(a, 0, 1, mu);
+                if (child < 0 || dmc_push_child(a, top, child)) return RSN_ERR_ALLOC;
+            } else {
+                a->nodes[a->nodes[top].children[mi]].occ++;
+            }
+            sp = up_idx; /* stack = stack[:up_idx] */
+            if (sp == 0) return RSN_ERR_DMC; /* NUL matched root; reference panics */
+        }
+        long node = stack[sp - 1];
+        int idx = dmc_child_by_value(a, node, b);
+        if (idx == -1) {
+            long child = dmc_new_node(a, b, 1, 0);
+            if (child < 0 || dmc_push_child(a, node, child)) return RSN_ERR_ALLOC;
+            stack[sp++] = (int32_t)child;
+        } else {
+            long child = a->nodes[node].children[idx];
+            a->nodes[child].occ++;
+            stack[sp++] = (int32_t)child;
+        }
+    }
+    return root;
+}
+
+/* stable descending sort of every node's children by occurrences
+ * (SortNodesByOccurrences, dmc.go:196; stable like dmc_ref._sort_nodes) */
+static int dmc_cmp_pair(const void *pa, const void *pb) {
+    const int64_t *x = (const int64_t *)pa, *y = (const int64_t *)pb;
+    return (*x < *y) ? -1 : (*x > *y);
+}
+
+static int dmc_sort_all(dmc_arena_t *a, long root) {
+    /* iterative DFS (tree depth can be O(n)); keys pack (-occ, index) so
+     * qsort is effectively stable */
+    int32_t *todo = (int32_t *)malloc(sizeof(int32_t) * (size_t)(a->n > 0 ? a->n : 1));
+    int64_t *keys = NULL;
+    int kcap = 0;
+    if (!todo) return -1;
+    long tp = 0;
+    todo[tp++] = (int32_t)root;
+    while (tp > 0) {
+        long ni = todo[--tp];
+        dmc_node_t *nd = &a->nodes[ni];
+        if (nd->nchild > 1) {
+            if (nd->nchild > kcap) {
+                int64_t *p = (int64_t *)realloc(keys, sizeof(int64_t) * (size_t)nd->nchild);
+                if (!p) { free(todo); free(keys); return -1; }
+                keys = p;
+                kcap = nd->nchild;
+            }
+            for (int i = 0; i < nd->nchild; i++)
+                keys[i] = (-(int64_t)a->nodes[nd->children[i]].occ << 32) | (uint32_t)i;
+            qsort(keys, (size_t)nd->nchild, sizeof(int64_t), dmc_cmp_pair);
+            /* keys' low halves are the old positions in sorted order */
+            for (int i = 0; i < nd->nchild; i++) keys[i] = nd->children[(int32_t)(keys[i] & 0xffffffff)] | (keys[i] & 0) ;
+            for (int i = 0; i < nd->nchild; i++) nd->children[i] = (int32_t)keys[i];
+        }
+        for (int i = 0; i < nd->nchild; i++)
+            if (a->nodes[nd->children[i]].nchild > 0) todo[tp++] = nd->children[i];
+    }
+    free(todo);
+    free(keys);
+    return 0;
+}
+
+/* GetBitsFromChain re-walk (dmc.go:100-149 / dmc_ref.chain_to_transitions)
+ * + int8 wire mapping (dmc.go:81). */
+long rsn_dmc_compress(const uint8_t *in, long n_in, uint8_t **out_p, long *out_len) {
+    dmc_arena_t a;
+    a.cap = 2 * n_in + 2;
+    a.n = 0;
+    a.nodes = (dmc_node_t *)malloc(sizeof(dmc_node_t) * (size_t)a.cap);
+    int32_t *stack = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n_in + 2));
+    buf_t out;
+    if (!a.nodes || !stack || buf_init(&out, (size_t)n_in + 16)) {
+        free(a.nodes); free(stack);
+        return RSN_ERR_ALLOC;
+    }
+#define DMC_FAIL(code) { dmc_arena_free(&a); free(stack); free(out.p); return (code); }
+    long root = dmc_build(&a, in, n_in, stack);
+    if (root < 0) DMC_FAIL(root);
+    if (dmc_sort_all(&a, root)) DMC_FAIL(RSN_ERR_ALLOC);
+
+    /* re-walk: the Python new_stack = stack + [node] copy becomes pushes and
+     * truncations on one array (older prefixes are never revisited) */
+    long node = root;
+    long sp = 0; /* stack holds the path EXCLUDING the current node */
+    long emitted = 0;
+    long trailing_implicit = 0;
+    for (long pos = 0; pos < n_in; pos++) {
+        int val = in[pos];
+        stack[sp++] = (int32_t)node; /* new_stack = stack + [node] */
+        long look_in = -1;
+        long transition = -2; /* sentinel: none */
+        dmc_node_t *nd = &a.nodes[node];
+        int idx = dmc_child_by_value(&a, node, val);
+        if (idx == -1) {
+            for (int i = 0; i < nd->nchild; i++) {
+                dmc_node_t *ch = &a.nodes[nd->children[i]];
+                if (ch->move_up > 0 && a.nodes[stack[sp - ch->move_up]].value == val) {
+                    look_in = stack[sp - ch->move_up];
+                    sp = sp - ch->move_up + 1; /* truncate */
+                    transition = (nd->nchild == 1) ? -1 : i;
+                    break;
+                }
+            }
+            sp -= 1; /* new_stack.pop() */
+            if (look_in < 0) DMC_FAIL(RSN_ERR_DMC);
+        } else {
+            look_in = nd->children[idx];
+            transition = (nd->nchild == 1) ? -1 : idx;
+        }
+        if (transition == -1) {
+            trailing_implicit++;
+        } else {
+            if (buf_push(&out, (uint8_t)(transition & 0xff))) DMC_FAIL(RSN_ERR_ALLOC);
+            emitted++;
+            trailing_implicit = 0;
+        }
+        node = look_in;
+    }
+    {
+        long marker = emitted ? -1 : -2;
+        if (buf_push(&out, (uint8_t)(marker & 0xff)) ||
+            buf_push(&out, (uint8_t)(trailing_implicit & 0xff)))
+            DMC_FAIL(RSN_ERR_ALLOC);
+    }
+#undef DMC_FAIL
+    dmc_arena_free(&a);
+    free(stack);
+    *out_p = out.p;
+    *out_len = (long)out.len;
+    return 0;
+}
+
+/* Reference-parity stub (dmc.go:274-276). */
+long rsn_dmc_decompress(const uint8_t *in, long n, uint8_t **out_p, long *out_len) {
+    (void)in; (void)n;
+    const char *hello = "Hello!";
+    uint8_t *p = (uint8_t *)malloc(6);
+    if (!p) return RSN_ERR_ALLOC;
+    memcpy(p, hello, 6);
+    *out_p = p;
+    *out_len = 6;
+    return 0;
+}

@@ -129,3 +129,13 @@ def test_mcc_corpus_roundtrip():
         data = CORPUS[name]
         comp = codec.compress(data)
         assert codec.decompress(comp) == data
+
+
+def test_dmc_native_parity_corpus_scale():
+    """Native C DMC vs the host oracle at corpus scale (dmc.go:32,100)."""
+    from raisin_tpu import native
+    from raisin_tpu.formats import dmc_ref
+
+    for name in ("alice29.txt", "grammar.lsp"):
+        data = CORPUS[name]
+        assert native.dmc_compress(data) == dmc_ref.compress(data)

@@ -85,3 +85,40 @@ def test_native_mcc_rejects_garbage():
         native.mcc_decompress(b"12,abc\\xyz")
     with pytest.raises(ValueError):
         native.mcc_decompress(b"no separator at all")
+
+
+@pytest.mark.parametrize("payload", CASES)
+def test_native_dmc_matches_oracle(payload):
+    """Native DMC must be byte-exact vs the host oracle, including the
+    DmcError cases (NUL whose only stack match is the root; dmc.go:43-51)."""
+    from raisin_tpu.formats import dmc_ref
+
+    try:
+        want = dmc_ref.compress(payload)
+    except dmc_ref.DmcError:
+        with pytest.raises(dmc_ref.DmcError):
+            native.dmc_compress(payload)
+        return
+    assert native.dmc_compress(payload) == want
+
+
+def test_native_dmc_decompress_is_reference_stub():
+    # dmc.go:274-276: the reference file decoder ignores its input
+    assert native.dmc_decompress(b"anything") == b"Hello!"
+    assert native.dmc_decompress(b"") == b"Hello!"
+
+
+def test_native_dmc_nul_root_raises():
+    from raisin_tpu.formats import dmc_ref
+
+    with pytest.raises(dmc_ref.DmcError):
+        native.dmc_compress(b"\x00")
+
+
+def test_native_dmc_registered():
+    from raisin_tpu.engine.registry import get_codec
+
+    codec = get_codec("dmc", backend="native")
+    from raisin_tpu.formats import dmc_ref
+
+    assert codec.compress(VERSE) == dmc_ref.compress(VERSE)
