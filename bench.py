@@ -226,6 +226,27 @@ def main() -> None:
             detail["stages"] = device_stage_breakdown(data, block, window, enc_s)
         except Exception as e:  # stage breakdown must never kill the bench
             detail["stages_error"] = repr(e)[:200]
+    try:
+        # secondary metric: the BASELINE config-4 stack (lzss,huffman) on the
+        # block-parallel device path, smaller input to bound bench time
+        hdata = data[: 8 << 20]
+        hc = compress_container(hdata, ("lzss", "huffman"), block_size=block, window=window)
+        assert decompress_container(hc) == hdata, "huffman stack round-trip failed"
+        he = _best(
+            lambda: compress_container(
+                hdata, ("lzss", "huffman"), block_size=block, window=window
+            ),
+            max(1, iters - 1),
+        )
+        hd = _best(lambda: decompress_container(hc), max(1, iters - 1))
+        detail["huffman_stack"] = {
+            "input_mb": round(len(hdata) / 1e6, 2),
+            "encode_mbps": round(len(hdata) / he / 1e6, 3),
+            "decode_mbps": round(len(hdata) / hd / 1e6, 3),
+            "compression_ratio_pct": round(len(hc) / len(hdata) * 100, 2),
+        }
+    except Exception as e:
+        detail["huffman_stack_error"] = repr(e)[:200]
 
     mbps = len(data) / enc_s / 1e6
     result = {
