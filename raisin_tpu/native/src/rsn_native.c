@@ -876,10 +876,10 @@ static int dmc_sort_all(dmc_arena_t *a, long root) {
                 kcap = nd->nchild;
             }
             for (int i = 0; i < nd->nchild; i++)
-                keys[i] = (-(int64_t)a->nodes[nd->children[i]].occ << 32) | (uint32_t)i;
+                keys[i] = -(int64_t)a->nodes[nd->children[i]].occ * ((int64_t)1 << 32) | (uint32_t)i;
             qsort(keys, (size_t)nd->nchild, sizeof(int64_t), dmc_cmp_pair);
             /* keys' low halves are the old positions in sorted order */
-            for (int i = 0; i < nd->nchild; i++) keys[i] = nd->children[(int32_t)(keys[i] & 0xffffffff)] | (keys[i] & 0) ;
+            for (int i = 0; i < nd->nchild; i++) keys[i] = nd->children[(int32_t)(keys[i] & 0xffffffff)];
             for (int i = 0; i < nd->nchild; i++) nd->children[i] = (int32_t)keys[i];
         }
         for (int i = 0; i < nd->nchild; i++)
@@ -894,6 +894,9 @@ static int dmc_sort_all(dmc_arena_t *a, long root) {
  * + int8 wire mapping (dmc.go:81). */
 long rsn_dmc_compress(const uint8_t *in, long n_in, uint8_t **out_p, long *out_len) {
     dmc_arena_t a;
+    /* node/child indices are int32_t; past ~1 GiB the arena index would
+     * silently truncate, so refuse rather than corrupt */
+    if (n_in < 0 || 2 * n_in + 2 > INT32_MAX) return RSN_ERR_ALLOC;
     a.cap = 2 * n_in + 2;
     a.n = 0;
     a.nodes = (dmc_node_t *)malloc(sizeof(dmc_node_t) * (size_t)a.cap);
@@ -924,6 +927,9 @@ long rsn_dmc_compress(const uint8_t *in, long n_in, uint8_t **out_p, long *out_l
         if (idx == -1) {
             for (int i = 0; i < nd->nchild; i++) {
                 dmc_node_t *ch = &a.nodes[nd->children[i]];
+                /* MoveUp deeper than the walk stack would read out of
+                 * bounds; the Go reference panics there (dmc.go:119) */
+                if (ch->move_up > sp) DMC_FAIL(RSN_ERR_DMC);
                 if (ch->move_up > 0 && a.nodes[stack[sp - ch->move_up]].value == val) {
                     look_in = stack[sp - ch->move_up];
                     sp = sp - ch->move_up + 1; /* truncate */

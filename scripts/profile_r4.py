@@ -14,7 +14,7 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MB = float(os.environ.get("MB", "4"))
 BS = int(os.environ.get("BS", "16384"))
