@@ -158,7 +158,7 @@ def device_stage_breakdown(data: bytes, block: int, window: int, encode_s: float
         lambda: pipeline_jax.lzss_tokens_words(dx, dl, window=window, use_pallas_match=False),
     )
     tl = np.asarray(tok_len)
-    steps = max(512, (int(tl.max()) + 1 + 511) // 512 * 512)
+    steps = blk._gbucket(int(tl.max()) + 1, base=2048)
     capw = blk._capw_bucket(9 * steps + 64)
     rows, byte_lens, _ = timeit(
         "arith_pack_s",

@@ -511,8 +511,8 @@ def stitch_words(
 ):
     """(B, C, STC) chunk words + (B, C) counts -> (B, capw) contiguous words."""
     B, C, stc = chunks_b.shape
-    if capw % 1024 != 0:
-        raise ValueError("capw must be a multiple of 1024")
+    if capw % 512 != 0:
+        raise ValueError("capw must be a multiple of 512")
     out = pl.pallas_call(
         _stitch_kernel,
         grid=(B,),
@@ -578,7 +578,7 @@ def encode_rows(
         == 0, S % CHUNK == 0. rows = B // 128 should stay <= 32 (VMEM).
       lengths: (B,) int32.
       capw: static per-block output capacity in 32-bit words (multiple of
-        1024). Caller retries with a larger bucket when byte_lens exceeds
+        512). Caller retries with a larger bucket when byte_lens exceeds
         capw * 4 (output rows are clamped, never out of bounds).
 
     Returns:
@@ -638,35 +638,33 @@ def encode_rows_from_words(
 # Decode
 
 
+DEC_G = 32  # words per fetch group of the decode bit-supply window
+DEC_NW = 4  # groups resident per grid step (window = 128 words = 4096 bits)
+
+
 def _dec_kernel(words_ref, len_ref, out_ref, eof_ref, value, low, high, cnt, frozen,
-                hi, lo, avail, wptr, cum):
+                hi, lo, avail, wptr, cum, win):
     """Vectorized arithmetic decode: all blocks in lockstep.
 
     Bit supply: a per-block 64-bit window (hi, lo) refilled one 32-bit word
-    per step via a masked sum-reduction over the whole VMEM-resident word
-    array (j == wptr selects the word; wptr past the stream reduces to 0,
-    which IS the reference's exhausted-read zero-fill, bits.go:12). The
-    decoder tail bit (arithmetic.go:48) is pre-injected by the wrapper.
+    per step from a small per-chunk prefetch window ``win`` (DEC_NW * DEC_G
+    words per lane). The window is rebuilt once per grid step from the
+    VMEM word array with DEC_NW masked group reductions, so the per-step
+    fetch is a reduction over 128 slots instead of the whole capw-word
+    stream (the O(capw)-per-refill reduction dominated decode before).
+    Coverage invariant: a CHUNK of 128 steps consumes <= 128*16 + 64 bits
+    = 66 words, and the window base is group-aligned (<= 31 words behind
+    wptr), so 128 resident words always suffice. Slots past the stream
+    reduce to 0, which IS the reference's exhausted-read zero-fill
+    (bits.go:12). The decoder tail bit (arithmetic.go:48) is pre-injected
+    by the wrapper.
     """
     rows = len_ref.shape[0]
     pid = pl.program_id(0)
     capw = words_ref.shape[0]
-    jota = jax.lax.broadcasted_iota(jnp.int32, (capw, rows, LANES), 0)
     iota2 = jax.lax.broadcasted_iota(jnp.int32, (NSYM2, rows, LANES), 0)
+    win_iota = jax.lax.broadcasted_iota(jnp.int32, (DEC_NW * DEC_G, rows, LANES), 0)
     n = len_ref[:]
-
-    def refill(hiv, lov, av, wp):
-        need = av <= 32
-        w = jnp.sum(jnp.where(jota == wp[None], words_ref[:], 0), axis=0)
-        hiv = jnp.where(need & (av < 32), hiv | _shr(w, av), hiv)
-        lov = jnp.where(
-            need,
-            lov | jnp.where(av < 32, _shl(w, 32 - av), _shr(w, av - 32)),
-            lov,
-        )
-        av = jnp.where(need, av + 32, av)
-        wp = jnp.where(need, wp + 1, wp)
-        return hiv, lov, av, wp
 
     def take(hiv, lov, av, k):
         """Consume k (<=16, per-lane) bits; returns them right-aligned."""
@@ -685,9 +683,10 @@ def _dec_kernel(words_ref, len_ref, out_ref, eof_ref, value, low, high, cnt, fro
         low[:] = jnp.zeros((rows, LANES), jnp.int32)
         high[:] = jnp.full((rows, LANES), MAX_CODE, jnp.int32)
         eof_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
-        h, l, a, w = jnp.zeros((rows, LANES), jnp.int32), jnp.zeros((rows, LANES), jnp.int32), jnp.zeros((rows, LANES), jnp.int32), jnp.zeros((rows, LANES), jnp.int32)
-        h, l, a, w = refill(h, l, a, w)
-        h, l, a, w = refill(h, l, a, w)
+        # the first two refills have a uniform word pointer: static reads
+        h, l = words_ref[0], words_ref[1]
+        a = jnp.full((rows, LANES), 64, jnp.int32)
+        w = jnp.full((rows, LANES), 2, jnp.int32)
         # strip the 0..01 prepad: up to 8 leading zeros then the sentinel 1
         pad_done = jnp.zeros((rows, LANES), jnp.bool_)
         for _ in range(8):
@@ -703,6 +702,33 @@ def _dec_kernel(words_ref, len_ref, out_ref, eof_ref, value, low, high, cnt, fro
         lo[:] = l
         avail[:] = a
         wptr[:] = w
+
+    # per-chunk prefetch window: DEC_NW group reductions over the word
+    # stream, each filling DEC_G words for every lane at its own group base
+    gb = wptr[:] // DEC_G
+    wv = words_ref[:].reshape(capw // DEC_G, DEC_G, rows, LANES)
+    seg_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (capw // DEC_G, 1, rows, LANES), 0
+    )
+    for k in range(DEC_NW):
+        win[k * DEC_G : (k + 1) * DEC_G] = jnp.sum(
+            jnp.where(seg_iota == (gb + k)[None, None], wv, 0), axis=0
+        )
+    base = gb * DEC_G
+
+    def refill(hiv, lov, av, wp):
+        need = av <= 32
+        li = wp - base  # in [0, DEC_NW * DEC_G) by the chunk coverage bound
+        w = jnp.sum(jnp.where(win_iota == li[None], win[:], 0), axis=0)
+        hiv = jnp.where(need & (av < 32), hiv | _shr(w, av), hiv)
+        lov = jnp.where(
+            need,
+            lov | jnp.where(av < 32, _shl(w, 32 - av), _shr(w, av - 32)),
+            lov,
+        )
+        av = jnp.where(need, av + 32, av)
+        wp = jnp.where(need, wp + 1, wp)
+        return hiv, lov, av, wp
 
     def body(s, carry):
         # per-block scalar state rides fori carries (registers); only the
@@ -807,6 +833,8 @@ def decode_words(words: jax.Array, out_lens: jax.Array, num_steps: int | None = 
     Returns (syms (num_steps, rows, 128) int32, eof_ok (rows, 128) int32).
     """
     capw, rows, lanes = words.shape
+    if capw % DEC_G != 0:
+        raise ValueError(f"capw must be a multiple of {DEC_G}")
     S = num_steps
     grid = (S // CHUNK,)
     return pl.pallas_call(
@@ -825,7 +853,10 @@ def decode_words(words: jax.Array, out_lens: jax.Array, num_steps: int | None = 
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.int32)] * 9
-        + [pltpu.VMEM((NSYM2, rows, LANES), jnp.int32)],
+        + [
+            pltpu.VMEM((NSYM2, rows, LANES), jnp.int32),
+            pltpu.VMEM((DEC_NW * DEC_G, rows, LANES), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -5,12 +5,12 @@ TPU-first split of labor (same shape as the single-stream ops/huffman_jax):
 - Per-block tree build replicates Go's container/heap mechanics exactly
   (formats.huffman_ref, reference huffman.go:58) and touches only
   distinct-symbol-sized data — host, one cheap pass per block.
-- The O(total bytes) work runs batched on device:
-  encode = per-symbol gather of code rows + exclusive-cumsum offsets +
-  one searchsorted gather per output bit + 8->1 bit pack (vmapped over
-  blocks);
-  decode = lockstep node-table walk, one (left|right) gather per bit per
-  block lane, leaf hits compacted on device and packed 4 symbols/word.
+- The O(total bytes) work runs batched on device. On TPU it rides the
+  ops/huffman_pallas kernels (blocks-on-lanes, masked-sum table lookups,
+  in-kernel bit packing — the round-4 searchsorted/gather path measured
+  under 0.5 MB/s and is kept only as the portable XLA fallback):
+  encode = one packed code-table lookup per byte + bit-accumulator pack;
+  decode = lockstep 1-bit tree walk over a 64-word packed child table.
 - Wire format per block is byte-identical to formats.huffman_ref
   (reference huffman.go:229,255-279): ASCII freq|char header + "\\\n" +
   pad byte + MSB-first payload bits with the pad as leading zeros.
@@ -42,6 +42,19 @@ def _bucket(n: int, base: int = 128) -> int:
     while size < n:
         size *= 2
     return size
+
+
+def _gbucket(n: int, base: int = 2048) -> int:
+    size = base
+    while size < n:
+        if size + size // 2 >= n:
+            return size + size // 2
+        size *= 2
+    return size
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -83,7 +96,7 @@ def pack_codes_blocks(ids, code_bits, code_lens, cap_bytes: int):
     return jax.vmap(one)(ids, code_bits, code_lens)
 
 
-def encode_blocks(blocks: list[bytes]) -> list[bytes]:
+def encode_blocks(blocks: list[bytes], interpret: bool = False) -> list[bytes]:
     """Exact per-block `.rsn` Huffman encode, device-batched.
 
     Non-ASCII blocks (and degenerate single-symbol blocks) take the host
@@ -115,6 +128,10 @@ def encode_blocks(blocks: list[bytes]) -> list[bytes]:
     if not dev:
         return out  # type: ignore[return-value]
 
+    if _use_pallas() or interpret:
+        _encode_pallas(dev, blocks, tabs, exact_bits, heads, out, interpret)
+        return out  # type: ignore[return-value]
+
     Bp = _bucket(len(dev))
     N = _bucket(max(len(blocks[i]) for i in dev), base=1024)
     cap_bytes = _bucket(max(exact_bits[i] for i in dev) // 8 + 2, base=128)
@@ -141,6 +158,126 @@ def encode_blocks(blocks: list[bytes]) -> list[bytes]:
             + payload[row, : int(byte_lens[row])].tobytes()
         )
     return out  # type: ignore[return-value]
+
+
+def _encode_pallas(dev, blocks, tabs, exact_bits, heads, out, interpret=False):
+    """TPU path: ops/huffman_pallas fused lookup+pack kernel, batched."""
+    from raisin_tpu.ops import huffman_pallas as hp
+
+    dev2 = []
+    for i in dev:
+        _, bins = tabs[i]
+        if max(len(c) for c in bins) > hp.MAX_CODE_BITS:
+            out[i] = hf.compress(blocks[i])  # packed-entry gate (rare)
+        else:
+            dev2.append(i)
+    if not dev2:
+        return
+
+    # batch so the staged outputs stay modest; shapes shared across batches
+    maxb = 1024
+    steps = _gbucket(max(len(blocks[i]) for i in dev2), base=2048)
+    capw = _gbucket(max(exact_bits[i] for i in dev2) // 32 + 2, base=1024)
+    for lo in range(0, len(dev2), maxb):
+        part = dev2[lo : lo + maxb]
+        B = max(128, (len(part) + 127) // 128 * 128)
+        idw = np.full((B, steps // 4), 0x80808080, dtype=np.uint32)
+        codes = np.zeros((B, hp.KPAD), dtype=np.int32)
+        lengths = np.zeros(B, dtype=np.int32)
+        for row, i in enumerate(part):
+            arr = np.frombuffer(blocks[i], dtype=np.uint8)
+            padded = np.full(steps, 128, dtype=np.uint32)
+            padded[: arr.size] = arr
+            p4 = padded.reshape(steps // 4, 4)
+            idw[row] = p4[:, 0] | (p4[:, 1] << 8) | (p4[:, 2] << 16) | (p4[:, 3] << 24)
+            lengths[row] = arr.size
+            vals, bins = tabs[i]
+            for v, c in zip(vals, bins):
+                codes[row, v] = int(c, 2) | (len(c) << hp.MAX_CODE_BITS)
+        rows, byte_lens, pads, oflow = hp.encode_rows_huffman(
+            jnp.asarray(idw.view(np.int32)), jnp.asarray(lengths),
+            jnp.asarray(codes), steps=steps, capw=capw, interpret=interpret,
+        )
+        rows = np.asarray(rows)
+        byte_lens = np.asarray(byte_lens)
+        pads = np.asarray(pads)
+        oflow = np.asarray(oflow)
+        for row, i in enumerate(part):
+            if oflow[row]:
+                out[i] = hf.compress(blocks[i])  # chunk staging overflow
+            else:
+                out[i] = (
+                    heads[i]
+                    + bytes([int(pads[row])])
+                    + rows[row].tobytes()[: int(byte_lens[row])]
+                )
+
+
+def _packed_table(tree):
+    """Host flatten for the Pallas walk: NTAB packed child words.
+
+    Internal nodes are relabeled 0..126 in preorder (root = 0); a leaf's
+    entry is 128 + its ASCII symbol, so the kernel needs no symbol table.
+    """
+    from raisin_tpu.ops import huffman_pallas as hp
+
+    words = np.zeros(hp.NTAB, dtype=np.uint32)
+    counter = [0]
+
+    def alloc(t) -> int:
+        if isinstance(t, hf.Leaf):
+            if not (0 <= t.value < 128):
+                raise _NonAscii
+            return 128 + t.value
+        vid = counter[0]
+        counter[0] += 1
+        if vid > 126:
+            raise _NonAscii
+        le = alloc(t.left)
+        ri = alloc(t.right)
+        words[vid // 2] |= np.uint32((le | (ri << 8)) << (16 * (vid % 2)))
+        return vid
+
+    alloc(tree)
+    return words.view(np.int32)
+
+
+def _decode_pallas(dev, metas, out, interpret=False):
+    """TPU path: ops/huffman_pallas lockstep 1-bit walk, batched."""
+    from raisin_tpu.ops import huffman_pallas as hp
+
+    maxb = 1024
+    capb = _gbucket(max(len(metas[i][2]) for i in dev), base=512)
+    maxbits = max(metas[i][3] for i in dev)
+    steps = _gbucket(maxbits, base=2048)
+    cap_out = _gbucket(maxbits + 4, base=4096)
+    # resident payload words: keep one batch's (capb x B) under ~10 MiB
+    maxb = max(128, min(maxb, (10 << 20) // (capb * 128) * 128))
+    for lo in range(0, len(dev), maxb):
+        part = dev[lo : lo + maxb]
+        B = max(128, (len(part) + 127) // 128 * 128)
+        payload = np.zeros((B, capb), dtype=np.uint8)
+        pads = np.zeros(B, dtype=np.int32)
+        blens = np.zeros(B, dtype=np.int32)
+        tables = np.zeros((B, hp.NTAB), dtype=np.int32)
+        for row, i in enumerate(part):
+            table, pad, body, nbits = metas[i]
+            payload[row, : len(body)] = np.frombuffer(body, dtype=np.uint8)
+            pads[row] = pad
+            blens[row] = len(body)
+            tables[row] = table
+        rows, counts, ok = hp.decode_rows_huffman(
+            jnp.asarray(payload), jnp.asarray(pads), jnp.asarray(blens),
+            jnp.asarray(tables), num_steps=steps, cap_out=cap_out,
+            interpret=interpret,
+        )
+        rows = np.asarray(rows)
+        counts = np.asarray(counts)
+        ok = np.asarray(ok)
+        for row, i in enumerate(part):
+            if not bool(ok[row]):
+                raise ValueError("huffman: bitstream ends inside a code")
+            out[i] = rows[row].tobytes()[: int(counts[row])]
 
 
 # ---------------------------------------------------------------------------
@@ -228,8 +365,9 @@ class _NonAscii(Exception):
     pass
 
 
-def decode_blocks(payloads: list[bytes]) -> list[bytes]:
+def decode_blocks(payloads: list[bytes], interpret: bool = False) -> list[bytes]:
     """Exact per-block Huffman decode, device-batched (ASCII trees)."""
+    use_p = _use_pallas() or interpret
     out: list[bytes | None] = [None] * len(payloads)
     dev: list[int] = []
     metas: dict[int, tuple] = {}
@@ -240,7 +378,10 @@ def decode_blocks(payloads: list[bytes]) -> list[bytes]:
             tree = hf.build_tree(sym_freqs)
             if isinstance(tree, hf.Leaf) or not rest:
                 raise _NonAscii
-            table, leaf_sym = _node_table(tree)
+            if use_p:
+                table, leaf_sym = _packed_table(tree), None
+            else:
+                table, leaf_sym = _node_table(tree)
         except _NonAscii:
             out[i] = hf.decompress(p)
             continue
@@ -249,8 +390,15 @@ def decode_blocks(payloads: list[bytes]) -> list[bytes]:
             continue
         pad = rest[0]
         body = rest[1:]
-        metas[i] = (table, leaf_sym, body, 8 * len(body) - pad)
+        if use_p:
+            metas[i] = (table, pad, body, 8 * len(body) - pad)
+        else:
+            metas[i] = (table, leaf_sym, body, 8 * len(body) - pad)
         dev.append(i)
+
+    if dev and use_p:
+        _decode_pallas(dev, metas, out, interpret)
+        return out  # type: ignore[return-value]
 
     if dev:
         Bp = _bucket(len(dev))

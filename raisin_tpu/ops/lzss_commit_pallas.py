@@ -8,14 +8,15 @@ replaces it with the commit pass the format actually specifies
 scalar core does almost nothing per committed position:
 
 - everything data-parallel is hoisted OUT of the walk into vectorized XLA
-  precomputes: the decimal digits of every position's D and L (packed as
-  nibbles, one int32 per position), their digit counts (packed into spare
-  bits of the LD word), and literal RUN lengths to the next match position
-  (a reverse cummin, overloaded into the D field where L <= 1, so a run of
-  k literals costs one iteration instead of k);
-- the walk itself is one two-way branch per commit: token commits expand
-  the precomputed nibbles to ASCII with shifts (no divisions) and append
-  <= 11 bytes as three word-pieces; literal/raw commits copy input words;
+  precomputes: each position's (L, D) with digit counts packed into one LD
+  word, and literal RUN lengths to the next match position (a reverse
+  cummin, overloaded into the D field where L <= 1, so a run of k literals
+  costs one iteration instead of k);
+- the walk itself is one two-way branch per commit: token commits extract
+  decimal digits with constant-divisor scalar arithmetic (strength-reduced
+  by the compiler; the digit side-table this replaces cost 256 KiB/block of
+  SMEM at 64 KiB blocks) and append <= 11 bytes as three word-pieces;
+  literal/raw commits copy input words;
 - output goes straight to an SMEM word stream (plain scalar stores — no
   vector tile staging, no scatter/gather anywhere).
 
@@ -37,7 +38,7 @@ LANES = 128
 LBITS = 13  # LD word: (ndl-1)<<28 | (ndd-1)<<26 | L<<13 | D
 
 
-def _commit_kernel(n_ref, ld_ref, dg_ref, xw_ref, tok_ref, len_ref):
+def _commit_kernel(n_ref, ld_ref, xw_ref, tok_ref, len_ref):
     b = pl.program_id(0)
     n = n_ref[b]
     capw = tok_ref.shape[2]
@@ -88,16 +89,22 @@ def _commit_kernel(n_ref, ld_ref, dg_ref, xw_ref, tok_ref, len_ref):
         out, _, _ = jax.lax.while_loop(cond, step, (st, src, count))
         return out
 
-    def spread(nib, nd):
-        # 4 digit nibbles (MSB digit in the low nibble) -> little-endian
-        # ASCII bytes, nd wide, upper bytes ZERO (emit_word contract)
-        w = (
-            (nib & 0xF)
-            | ((nib >> 4) & 0xF) << 8
-            | ((nib >> 8) & 0xF) << 16
-            | ((nib >> 12) & 0xF) << 24
+    def digword(v, nd):
+        # decimal v (<= 8191) as nd little-endian ASCII bytes, MSB digit
+        # first, upper bytes ZERO (emit_word contract). Constant divisions
+        # strength-reduce on the scalar core; computing digits here keeps
+        # the 256 KiB/block digit side-table out of SMEM (64 KiB blocks
+        # blew the 1 MiB budget with it).
+        r1 = v // 10
+        r2 = r1 // 10
+        r3 = r2 // 10
+        full = (
+            ((v - r1 * 10) << 24)
+            | ((r1 - r2 * 10) << 16)
+            | ((r2 - r3 * 10) << 8)
+            | r3
         )
-        return w | shr(jnp.int32(0x30303030), (4 - nd) * 8)
+        return shr(full, (4 - nd) * 8) | shr(jnp.int32(0x30303030), (4 - nd) * 8)
 
     def body(st):
         i, opos, acc = st
@@ -110,9 +117,8 @@ def _commit_kernel(n_ref, ld_ref, dg_ref, xw_ref, tok_ref, len_ref):
         use_tok = (L > 0) & (toklen < L)
 
         def tok_path(es):
-            dg = dg_ref[0, 0, i]
-            wd = spread(dg, nd_d)  # D digits, low 16 nibbles
-            wl = spread(dg >> 16, nd_l)  # L digits
+            wd = digword(D, nd_d)  # D digits
+            wl = digword(L, nd_l)  # L digits
             # token = '<' D-digits ',' (part A, nd_d+2 bytes) then
             # L-digits '>' (part B, nd_l+1 bytes) at byte offset nd_d+2.
             a_lo = 60 | shl(wd, 8) | shl(jnp.int32(44), (nd_d + 1) * 8)
@@ -204,14 +210,6 @@ def commit_emit_words(
 
     ld = (_nd(L) << 28) | (_nd(D) << 26) | (L << LBITS) | Dp
 
-    def _nibs(v, nd):
-        # decimal digits as nibbles, MSB digit in the LOW nibble, nd wide
-        d = jnp.stack([v // 1000, (v // 100) % 10, (v // 10) % 10, v % 10], -1)
-        w4 = jnp.sum(d << (jnp.arange(4, dtype=jnp.int32) * 4), axis=-1)
-        return (w4 >> ((3 - nd) * 4)).astype(jnp.int32)
-
-    dg = _nibs(D, _nd(D)) | (_nibs(L, _nd(L)) << 16)
-
     xb = jnp.where(x >= 0, x, 0).astype(jnp.uint32).reshape(B, S // 4, 4)
     shifts = jnp.array([0, 8, 16, 24], dtype=jnp.uint32)
     xw = jnp.sum(xb << shifts[None, None, :], axis=-1).astype(jnp.int32)
@@ -221,7 +219,6 @@ def commit_emit_words(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, S), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, S), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, S // 4), lambda b, n: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
@@ -242,7 +239,7 @@ def commit_emit_words(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), ld.reshape(B, 1, S), dg.reshape(B, 1, S), xw)
+    )(lengths.astype(jnp.int32), ld.reshape(B, 1, S), xw)
     return tokw.reshape(B, capw), tok_len.reshape(B)
 
 

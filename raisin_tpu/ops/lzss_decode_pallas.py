@@ -137,8 +137,8 @@ def lzss_decode_blocks(
     Returns (rows (B, cap_out // 4) int32 little-endian bytes, out_len (B,)).
     """
     B, S = tok.shape
-    if cap_out % 4096 != 0:
-        raise ValueError("cap_out must be a multiple of 4096")
+    if cap_out % 1024 != 0:
+        raise ValueError("cap_out must be a multiple of 1024")
 
     t = tok.astype(jnp.int32)
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]

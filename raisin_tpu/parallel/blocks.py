@@ -59,7 +59,10 @@ _DEVICE_PIPELINES = (
 ENC_MAXB = 2048
 DEC_MAXB = 1024
 ENC_MAX_BYTES = 8 << 20
-DEC_MAX_BYTES = 8 << 20
+DEC_MAX_BYTES = 16 << 20
+# VMEM budget for the decode kernel's resident word stream (capb bytes per
+# block x block count); ~16 MiB VMEM per core minus model/window scratch
+DEC_WORDS_VMEM = 11 << 20
 
 _POOL = None
 
@@ -91,7 +94,7 @@ def _device_put_big(x: np.ndarray) -> jax.Array:
     parallel streams (streams form per issuing thread); the shards are
     re-joined by an on-device concatenate (HBM-speed).
     """
-    if x.nbytes < (4 << 20):
+    if x.nbytes < (1 << 20):
         return jax.device_put(x)
     n = 4
     rows = x.shape[0]
@@ -106,7 +109,7 @@ def _device_put_big(x: np.ndarray) -> jax.Array:
 
 def _asarray_big(a) -> np.ndarray:
     """np.asarray with the device->host transfer split across 4 threads."""
-    if a.ndim < 1 or a.size * a.dtype.itemsize < (4 << 20):
+    if a.ndim < 1 or a.size * a.dtype.itemsize < (1 << 20):
         return np.asarray(a)
     n = 4
     rows = a.shape[0]
@@ -122,6 +125,20 @@ def _bucket(n: int, base: int = 1024) -> int:
     # (the persistent compilation cache absorbs the extra specializations)
     size = base
     while size < n:
+        size *= 2
+    return size
+
+
+def _gbucket(n: int, base: int = 1024) -> int:
+    """Geometric bucket at ~1.33x granularity: powers of two plus their
+    1.5x midpoints. Data-dependent shape parameters (scan steps, row
+    capacities) snap to these so a whole run compiles O(1) kernel
+    specializations instead of one per 512-byte step (the round-4 bench
+    burned ~15 min of jit warmup on exactly that)."""
+    size = base
+    while size < n:
+        if size + size // 2 >= n:
+            return size + size // 2
         size *= 2
     return size
 
@@ -283,9 +300,9 @@ def _escaped_blocks(blocks: list[bytes], mesh, align: int = 1):
 
 
 def _capw_bucket(bits: int) -> int:
-    """Per-block row capacity in 32-bit words, multiples of 1024."""
+    """Per-block row capacity in 32-bit words (geometric buckets)."""
     words = (bits + 31) // 32 + 2
-    return ((words + 1023) // 1024) * 1024
+    return _gbucket(words, base=1024)
 
 
 def _rows_prefix(rows_dev, byte_lens: np.ndarray):
@@ -356,11 +373,24 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
     # stage 0: dispatch match+commit for every batch (h2d of batch k+1
     # overlaps batch k's kernels). NB: moving this loop onto background
     # threads was tried and measured SLOWER (GIL contention between numpy
-    # prep and the transfer threads); keep it sequential.
+    # prep and the transfer threads); keep it sequential. The trailing
+    # partial batch is padded with empty blocks to the common batch shape
+    # so the whole run shares ONE kernel specialization per stage.
     pend = []
     for i in range(0, len(blocks), maxb):
         part = blocks[i : i + maxb]
-        x, lengths, S = _escaped_blocks(part, None, align=128)
+        full = part + [b""] * (maxb - len(part)) if len(blocks) > maxb else part
+        x, lengths, S = _escaped_blocks(full, None, align=128)
+        if S > 65536:
+            # escape expansion past the commit kernel's SMEM budget
+            # (possible only on 0x5C/0xFF-heavy blocks): host oracle
+            from raisin_tpu.engine.registry import get_codec
+
+            a = get_codec("arithmetic", backend="native")
+            lz = get_codec("lzss", backend="native")
+            toks_h = [lz.compress(b, window) for b in part]
+            pend.append((part, None, [a.compress(t) for t in toks_h], [len(t) for t in toks_h]))
+            continue
         dx = _device_put_big(x)
         dl = jax.device_put(lengths)
         tokw, tok_len = pipeline_jax.lzss_tokens_words(
@@ -369,12 +399,16 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
         pend.append((part, S, tokw, tok_len))
 
     # stage 1: per batch, read max(tok_len) (a tiny sync riding under the
-    # later batches' kernels) and dispatch the arithmetic stage at a TIGHT
-    # steps bucket — the token stream is well under S for compressible data
+    # later batches' kernels) and dispatch the arithmetic stage at a
+    # coarse-bucketed steps count — tight enough that the scan does little
+    # EOF-padding work, coarse enough that batches share one compile
     pend2 = []
     for part, S, tokw, tok_len in pend:
+        if S is None:  # host-encoded batch: (payloads, tok byte lens)
+            pend2.append((part, None, None, tok_len, None, None, tokw))
+            continue
         tl = np.asarray(tok_len)
-        steps = max(512, (int(tl.max()) + 1 + 511) // 512 * 512)
+        steps = _gbucket(int(tl.max()) + 1, base=2048)
         capw = _capw_bucket(9 * steps + 64)
         out = pipeline_jax.arith_rows_from_words(tokw, tok_len, steps, capw)
         pend2.append((part, tokw, tok_len, tl, steps, capw, out))
@@ -383,7 +417,11 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
     # kick off the async device->host copy of the payload prefix, so batch
     # k's readback rides under batch k+1..n's kernels
     staged = []
-    for part, tokw, tok_len, tl, steps, capw, (rows, byte_lens, oflow) in pend2:
+    for part, tokw, tok_len, tl, steps, capw, out in pend2:
+        if tokw is None:  # host-encoded batch passes straight through
+            staged.append((part, out, tl, None, None))
+            continue
+        rows, byte_lens, oflow = out
         bl = np.asarray(byte_lens)
         if int(bl.max()) > capw * 4:
             # capacity overflow (pathological data): re-run this batch at the
@@ -400,9 +438,13 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
     payloads: list[bytes] = []
     toks: list[int] = []
     for part, sl, bl, tl, of in staged:
-        p, t = _enc_batch_assemble(part, _chunks_np(sl), bl, tl, of, window)
-        payloads.extend(p)
-        toks.extend(t)
+        if tl is None:  # host-encoded batch: sl = payloads, bl = tok lens
+            payloads.extend(sl)
+            toks.extend(bl)
+        else:
+            p, t = _enc_batch_assemble(part, _chunks_np(sl), bl, tl, of, window)
+            payloads.extend(p)
+            toks.extend(t)
         _progress(len(payloads), len(blocks))
     return payloads, toks
 
@@ -528,7 +570,12 @@ def _decode_arithmetic_rows(payloads: list[bytes], out_lens: list[int], mesh) ->
     """TPU fast path: Pallas lockstep arithmetic decode."""
     from raisin_tpu.ops import arithmetic_pallas as ap
 
-    maxb = 1024 * _mesh_size(mesh)
+    if mesh is None:
+        capb_all = _gbucket(max(len(p) for p in payloads), base=512)
+        vm_rows = max(1, DEC_WORDS_VMEM // (capb_all * 128))
+        maxb = max(128, min(DEC_MAXB, vm_rows * 128))
+    else:
+        maxb = 1024 * _mesh_size(mesh)
     if len(payloads) > maxb:
         out: list[bytes] = []
         for i in range(0, len(payloads), maxb):
@@ -538,8 +585,8 @@ def _decode_arithmetic_rows(payloads: list[bytes], out_lens: list[int], mesh) ->
         return out
 
     B = _pad_block_count(len(payloads), mesh, align=128)
-    capb = (max(len(p) for p in payloads) + 511) // 512 * 512
-    steps = max(128, (max(out_lens) + 1 + 127) // 128 * 128)
+    capb = _gbucket(max(len(p) for p in payloads), base=512)
+    steps = _gbucket(max(out_lens) + 1, base=2048)
     prows = np.zeros((B, capb), dtype=np.uint8)
     blens = np.zeros(B, dtype=np.int32)
     olens = np.zeros(B, dtype=np.int32)
@@ -586,12 +633,14 @@ def _dec_stage(payload_count, rows, olens_dev, eof_dev):
     return list(_pool().map(_start, chunks)), olens
 
 
-def _dec_tail(payload_count, out_lens, row_chunks, olens) -> bytes:
+def _dec_tail(payload_count, out_lens, row_chunks, olens, retry=None) -> bytes:
     """Escape-decode + verify + join for one decoded batch (vectorized).
 
     ``row_chunks`` is a list of device-array row slices whose host copies
     were started asynchronously in _dec_stage; fetching them here from pool
-    threads keeps the tunnel streams parallel."""
+    threads keeps the tunnel streams parallel. ``retry`` re-decodes one
+    block on the host — used when a block's escape expansion overflowed the
+    device decoder's SMEM-bounded output capacity (cap_out slack)."""
     from raisin_tpu.formats.lzss_ref import decode_opening_symbols_np
 
     parts_np = list(_pool().map(np.asarray, row_chunks))
@@ -633,16 +682,10 @@ def _dec_tail(payload_count, out_lens, row_chunks, olens) -> bytes:
     rows_np = parts_np[0] if len(parts_np) == 1 else np.vstack(parts_np)
     u8 = rows_np.view(np.uint8)  # (count, need_w * 4) little-endian bytes
     mask = np.arange(u8.shape[1], dtype=np.int32)[None, :] < olens[:, None]
-    if not ((u8 == 0x5C) & mask).any():
+    if not ((u8 == 0x5C) & mask).any() and np.array_equal(olens.astype(np.int64), exp):
         # no escape pairs anywhere: the escape decode is a pure byte map
         # (0xFF -> '<') and lengths are preserved, so one flat pass does
         # the whole batch
-        if not np.array_equal(olens.astype(np.int64), exp):
-            bad = int(np.nonzero(olens.astype(np.int64) != exp)[0][0])
-            raise ValueError(
-                f"container: block {bad} decoded {int(olens[bad])} bytes, "
-                f"expected {int(exp[bad])}"
-            )
         flat = u8[mask]
         np.copyto(flat, 0x3C, where=flat == 0xFF)
         return flat.tobytes()
@@ -651,9 +694,12 @@ def _dec_tail(payload_count, out_lens, row_chunks, olens) -> bytes:
         esc = rows_np[i].tobytes()[: olens[i]]
         dec = decode_opening_symbols_np(esc)
         if len(dec) != out_lens[i]:
-            raise ValueError(
-                f"container: block {i} decoded {len(dec)} bytes, expected {out_lens[i]}"
-            )
+            dec = retry(i) if retry is not None else dec
+            if len(dec) != out_lens[i]:
+                raise ValueError(
+                    f"container: block {i} decoded {len(dec)} bytes, "
+                    f"expected {out_lens[i]}"
+                )
         parts.append(dec)
     return b"".join(parts)
 
@@ -672,25 +718,33 @@ def _decode_lzss_arith_rows(
 
     if mesh is None:
         # the arithmetic decoder keeps the payload word stream VMEM-resident:
-        # (capb/4 words x rows x 128 lanes x 4B) must stay well under VMEM;
-        # batches are further sized to ~DEC_MAX_BYTES of OUTPUT so several
-        # pipeline regardless of block size
-        capb_all = (max(len(p) for p in payloads) + 511) // 512 * 512
-        maxb = max(128, min(DEC_MAXB, (10 << 20) // (capb_all * 128) * 128))
+        # (capb bytes x block count) must stay under DEC_WORDS_VMEM — and
+        # full (x8) sublane rows matter: (rows, 128) vector state pads to 8
+        # sublanes, so a 128-block batch wastes 8x of every per-lane op.
+        # Batches are also sized to ~DEC_MAX_BYTES of OUTPUT so at least a
+        # couple are in flight for transfer/compute overlap.
+        capb_all = _gbucket(max(len(p) for p in payloads), base=512)
+        vm_rows = max(1, DEC_WORDS_VMEM // (capb_all * 128))
         out0 = max(max(out_lens), 1)
-        maxb = max(128, min(maxb, DEC_MAX_BYTES // out0 // 128 * 128))
+        maxb = max(128, min(DEC_MAXB, vm_rows * 128, DEC_MAX_BYTES // out0 // 128 * 128))
     else:
         maxb = 1024 * _mesh_size(mesh)
 
+    # coarse shared shape buckets: every batch (the padded tail included)
+    # compiles the same kernels once
+    capb = _gbucket(max(len(p) for p in payloads), base=512)
+    steps = _gbucket(max(tok_lens) + 1, base=2048)
+    # the token-decode output block lives in SMEM (~1 MiB/core): size it for
+    # the escape-free common case plus 12.5% slack; blocks that escape-expand
+    # past it are re-decoded on the host (_dec_tail catches the truncation)
+    mo = max(out_lens)
+    cap_out = _gbucket(mo + mo // 8 + 128, base=4096)
     pend = []
     for i in range(0, len(payloads), maxb):
         part = payloads[i : i + maxb]
         part_tok = tok_lens[i : i + maxb]
         part_out = out_lens[i : i + maxb]
-        B = _pad_block_count(len(part), mesh, align=128)
-        capb = (max(len(p) for p in part) + 511) // 512 * 512
-        steps = max(128, (max(part_tok) + 1 + 127) // 128 * 128)
-        cap_out = (2 * max(part_out) + 4095) // 4096 * 4096
+        B = maxb if len(payloads) > maxb else _pad_block_count(len(part), mesh, align=128)
         prows = np.zeros((B, capb), dtype=np.uint8)
         blens = np.zeros(B, dtype=np.int32)
         tlens = np.zeros(B, dtype=np.int32)
@@ -703,17 +757,30 @@ def _decode_lzss_arith_rows(
             dprows, jax.device_put(blens), jax.device_put(tlens), num_steps=steps
         )
         rows, olens = dp.lzss_decode_blocks(tokens, jax.device_put(tlens), cap_out=cap_out)
-        pend.append((len(part), part_out, rows, olens, eof))
+        pend.append((len(part), part, part_out, rows, olens, eof))
+
+    def _retry(part):
+        def go(i: int) -> bytes:
+            from raisin_tpu.engine.registry import get_codec
+
+            a = get_codec("arithmetic", backend="native")
+            lz = get_codec("lzss", backend="native")
+            return lz.decompress(a.decompress(part[i]))
+
+        return go
 
     staged = [
-        (count, part_out) + _dec_stage(count, rows, olens, eof)
-        for count, part_out, rows, olens, eof in pend
+        (count, part_out) + _dec_stage(count, rows, olens, eof) + (_retry(part),)
+        for count, part, part_out, rows, olens, eof in pend
     ]
     return [_dec_tail(*p) for p in staged]
 
 
 def _decode_arithmetic_batch(payloads: list[bytes], out_lens: list[int], mesh) -> list[bytes]:
-    if _use_pallas() and max(len(p) for p in payloads) <= 8192:
+    # device-path gate: the lockstep decoder keeps one batch's payload
+    # words VMEM-resident, so per-block payloads must leave room for at
+    # least one full 128-block lane group (DEC_WORDS_VMEM / 128)
+    if _use_pallas() and max(len(p) for p in payloads) <= 65536:
         return _decode_arithmetic_rows(payloads, out_lens, mesh)
     B = _pad_block_count(len(payloads), mesh)
     n = _mesh_size(mesh)
@@ -862,8 +929,9 @@ def decompress_container(data: bytes, mesh=None) -> bytes:
         out_lens_i = [int(v) for v in out_lens]
         if (
             _use_pallas()
-            and max(len(p) for p in payloads) <= 32768
-            and max(out_lens_i) <= 32768
+            and max(len(p) for p in payloads) <= 65536  # VMEM word-stream gate
+            and max(out_lens_i) <= 65536  # token-decode SMEM output gate
+            and max(aux[0]) <= 65536  # token side-table SMEM gate
             and window <= 8191  # token-decode kernel packs D in 13 bits
         ):
             # fully-device decode: arithmetic + LZSS token parse in Pallas

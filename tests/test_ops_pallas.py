@@ -94,24 +94,26 @@ def test_pallas_commit_emit_oracle_exact():
         assert got == want, f"block {i}: commit/emit diverged from oracle"
 
 
-def test_pallas_match_kernel_interpret_equals_scan():
-    from raisin_tpu.ops import lzss_pallas
+@pytest.mark.parametrize("window", [4096, 2048, 1000])
+def test_pallas_match_lanes_kernel_equals_scan(window):
+    from raisin_tpu.ops import lzss_match_pallas
 
     S = 1024
     payloads = _payload_matrix(S)
     # window-edge content: long runs that match across the whole window
     payloads.append(b"z" * (S - 5))
+    payloads.append((b"xy" * S)[: S - 1])
     encs = [lzss_ref.encode_opening_symbols(p) for p in payloads]
-    B = len(encs)
+    B = 128  # v3 kernel rides full lane groups
     x = np.full((B, S), -1, dtype=np.int32)
     lengths = np.zeros(B, dtype=np.int32)
     for i, e in enumerate(encs):
         x[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)[:S]
         lengths[i] = min(len(e), S)
-    Lp, Dp = lzss_pallas.find_matches_blocks_pallas(
-        jnp.asarray(x), jnp.asarray(lengths), interpret=True
+    Lp, Dp = lzss_match_pallas.find_matches_lanes(
+        jnp.asarray(x), jnp.asarray(lengths), window=window, interpret=True
     )
-    Ls, Ds = lzss_jax.find_matches_blocks(x, lengths, 4096, S // lzss_jax.TILE)
+    Ls, Ds = lzss_jax.find_matches_blocks(x, lengths, window, S // lzss_jax.TILE)
     assert np.array_equal(np.asarray(Lp), np.asarray(Ls))
     assert np.array_equal(np.asarray(Dp), np.asarray(Ds))
 
@@ -210,3 +212,24 @@ def test_pallas_lzss_decode_blocks_oracle_exact():
         got = rows[i].view(np.uint8) if rows[i].dtype != np.uint8 else rows[i]
         got = rows[i].tobytes()[: olens[i]]
         assert got == e, f"block {i}: token decode diverged from escaped plaintext"
+
+
+def test_pallas_huffman_blocks_roundtrip_oracle_exact():
+    """Pallas Huffman encode/decode (interpret) vs the host oracle."""
+    from raisin_tpu.ops import huffman_blocks as hb
+
+    rng = np.random.default_rng(3)
+    blocks = [
+        b"hello world, hello world, hello huffman",
+        bytes(rng.integers(32, 127, size=900, dtype=np.uint8)),
+        b"aaaaabbbbccd" * 40,
+        bytes(rng.integers(0, 128, size=333, dtype=np.uint8)),
+        b"ab",
+        b"\x00\x01\x02\x03" * 64,  # low ASCII incl. NUL
+    ]
+    enc = hb.encode_blocks(blocks, interpret=True)
+    for i, b in enumerate(blocks):
+        assert enc[i] == hb.hf.compress(b), f"block {i}: encode != oracle"
+    dec = hb.decode_blocks(enc, interpret=True)
+    for i, b in enumerate(blocks):
+        assert dec[i] == b, f"block {i}: decode round-trip failed"
