@@ -114,6 +114,41 @@ def ratio_detail(data: bytes, container_len: int, block: int, window: int) -> di
     }
 
 
+def native_baseline(data: bytes, window: int) -> dict:
+    """Measured single-stream native C oracle throughput (same wire format,
+    same pipeline): a faithful CPU baseline that bounds what raisin-Go could
+    plausibly do on this machine, hardening the 10x claim's denominator
+    (BASELINE.md:29-31 — no Go toolchain exists in this environment, and the
+    C path reimplements the exact formats the Go code produces)."""
+    try:
+        from raisin_tpu.native import (
+            arith_compress,
+            arith_decompress,
+            lzss_compress,
+            lzss_decompress,
+        )
+    except Exception as e:  # pragma: no cover - native build failure
+        return {"native_error": repr(e)[:120]}
+    sample = data[: min(len(data), 1 << 20)]
+    t0 = time.perf_counter()
+    toks = lzss_compress(sample, window)
+    comp = arith_compress(toks)
+    enc_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = lzss_decompress(arith_decompress(comp))
+    dec_s = time.perf_counter() - t0
+    assert back == sample
+    return {
+        "native_c_encode_mbps": round(len(sample) / enc_s / 1e6, 3),
+        "native_c_decode_mbps": round(len(sample) / dec_s / 1e6, 3),
+        "native_c_sample_mb": round(len(sample) / 1e6, 2),
+        "native_c_note": (
+            "single-stream C oracle (rsn_native.c), same .rsn wire format "
+            "and window; upper-bounds the Go reference on this host"
+        ),
+    }
+
+
 def device_stage_breakdown(data: bytes, block: int, window: int, encode_s: float) -> dict:
     """Steady-state per-stage timings on ONE production-shaped batch.
 
@@ -220,6 +255,7 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "go_baseline_mbps": round(GO_BASELINE_MBPS, 2),
         **ratio_detail(data, len(container), block, window),
+        **native_baseline(data, window),
     }
     if on_tpu:
         try:

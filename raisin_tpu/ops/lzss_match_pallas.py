@@ -12,10 +12,12 @@ Design — why this layout wins on the VPU:
 
 - 128 independent blocks ride the LANE axis, the window distances ride the
   SUBLANE-major axis: every per-position vector op covers (W, 128) elements
-  with zero sublane padding. The XLA scan (ops/lzss_jax) carries a (B, wl)
-  state whose per-position reduction lowers to long chains of narrow ops;
-  the v2 Pallas kernel processed ONE block per grid step and was issue-bound
-  at (32, 128)-tile granularity. Both lose 2-4x to this layout.
+  with zero sublane padding and no per-position cross-lane reduce shuffles
+  (the reduction over distances is a pairwise fold down the sublane-major
+  axis). The XLA scan (ops/lzss_jax) carries a (B, wl) state whose
+  per-position reduction lowers to long chains of narrow cross-lane ops;
+  the v2 Pallas kernel processed ONE block per grid step and was
+  issue-bound at (32, 128)-tile granularity. Both lose to this layout.
 - The position loop runs over REVERSED bytes (y[k] = x[S-1-k]) so the
   descending-position forward-run recurrence rl[i, d] = eq ? rl[i+1, d]+1
   : 0 becomes an ascending scan whose window view y[k+1 : k+W+1] slides
@@ -28,10 +30,11 @@ Design — why this layout wins on the VPU:
   matches can only chain in the invalid tail (proof: a run reaching valid
   position i with i+1 invalid would need i+1-d >= n with d >= 1 and i < n —
   impossible), so run lengths at valid positions are exact.
-- The reduction is two int16 passes (max cap, then max distance among
-  cap == L) instead of one packed int32 pass — same op count at half the
-  register width, and the distance vector doubles as the window clamp
-  (dvec = 0 past ``window`` makes min(rl, dvec) = 0 there).
+- Everything is int32: v5e Mosaic does not legalize i16 vector min/cmp/
+  shift, and implicit (1, LANES)/(W, 1) broadcasts create replicated mask
+  layouts it cannot relayout — so the two broadcasts that exist are
+  materialized with pltpu.repeat, and (L, D) leave the kernel packed in
+  one int32 (L << 13 | D) to halve output VMEM.
 
 The kernel grid is (block_groups, position_tiles); the run-length state
 persists in VMEM scratch across position tiles and resets per block group.
@@ -51,60 +54,52 @@ from raisin_tpu.ops import jax_setup  # noqa: F401
 LANES = 128
 TS = 8  # positions per sub-tile (one dynamic window slice per TS positions)
 SENTINEL = 0x3C  # '<' never occurs in escaped LZSS input (lzss.go:369)
+DBITS = 13  # packed output: L << 13 | D (both <= 8191)
 
 
-def _kernel(yA_ref, yB_ref, L_ref, D_ref, buf, rl_ref, window: int):
+def _kernel(yA_ref, yB_ref, LD_ref, buf, rl_ref, window: int):
     g = pl.program_id(1)
-    W = L_ref.shape[1]  # position-tile size == padded window size
+    W = LD_ref.shape[1]  # position-tile size == padded window size
 
     # contiguous byte view y[gW : gW + 2W) for this tile's window reads
-    buf[:W] = yA_ref[0]
-    buf[W:] = yB_ref[0]
+    buf[:W] = yA_ref[0].astype(jnp.int32)
+    buf[W:] = yB_ref[0].astype(jnp.int32)
 
     @pl.when(g == 0)
     def _reset():
-        rl_ref[:] = jnp.zeros((W, LANES), jnp.int16)
+        rl_ref[:] = jnp.zeros((W, LANES), jnp.int32)
 
-    riota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-    # row r <-> distance d = r + 1; rows past ``window`` clamp to 0 so
-    # min(rl, dvec) excludes them from both reductions
-    dvec = jnp.where(riota + 1 <= window, riota + 1, 0).astype(jnp.int16)
+    # row r <-> distance d = r + 1; rows past ``window`` clamp dvec to 0,
+    # which excludes them from both reductions (min(rl, 0) = 0)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
+    dvec = jnp.where(riota + 1 <= window, riota + 1, 0)
 
-    def max16(x):
-        # pairwise sublane-axis fold (Mosaic lacks int16 reductions),
-        # int32 only for the final 8 rows; returns (1, LANES) int16
+    def maxfold(x):
+        # pairwise fold down the sublane-major axis: cheap vreg-vs-vreg
+        # maxes until the final 8 rows reduce natively
         n = x.shape[0]
         while n > 8:
             n //= 2
             x = jnp.maximum(x[:n], x[n : 2 * n])
-        return jnp.max(x.astype(jnp.int32), axis=0, keepdims=True).astype(jnp.int16)
+        return jnp.max(x, axis=0, keepdims=True)  # (1, LANES)
 
     def sub_tile(s, rl):
         u0 = s * TS
         seg = buf[pl.ds(u0, W + TS)]  # (W + TS, LANES) bytes
-        stageL = jnp.zeros((TS, LANES), jnp.int16)
-        stageD = jnp.zeros((TS, LANES), jnp.int16)
+        stage = []
         for t in range(TS):
-            cur = seg[t : t + 1]  # (1, LANES)
+            cur = jnp.broadcast_to(seg[t : t + 1], (W, LANES))
             win = seg[t + 1 : t + 1 + W]  # (W, LANES): row r = x[i - (r+1)]
             eq = win == cur
-            # clamp keeps rl in int16 on arbitrarily long runs; exact
-            # because cap = min(rl, dvec) and dvec <= 8191 < 16383
-            grown = jnp.minimum(rl + jnp.int16(1), jnp.int16(16383))
+            grown = rl + 1
             cap = jnp.where(eq, jnp.minimum(grown, dvec), 0)
             rl = jnp.where(eq, grown, 0)
-            Lrow = max16(cap)  # (1, LANES)
-            Drow = max16(
-                jnp.where(cap == Lrow, jnp.broadcast_to(dvec, cap.shape), 0)
-            )
+            Lrow = maxfold(cap)  # (1, LANES)
+            hit = cap == jnp.broadcast_to(Lrow, (W, LANES))
+            Drow = maxfold(jnp.where(hit, dvec, 0))
             Drow = jnp.where(Lrow > 0, Drow, 0)
-            smask = (
-                jax.lax.broadcasted_iota(jnp.int32, (TS, LANES), 0) == t
-            )
-            stageL = jnp.where(smask, Lrow, stageL)
-            stageD = jnp.where(smask, Drow, stageD)
-        L_ref[0, pl.ds(u0, TS), :] = stageL
-        D_ref[0, pl.ds(u0, TS), :] = stageD
+            stage.append((Lrow << DBITS) | Drow)
+        LD_ref[0, pl.ds(u0, TS), :] = jnp.concatenate(stage, axis=0)
         return rl
 
     rl = jax.lax.fori_loop(0, W // TS, sub_tile, rl_ref[:])
@@ -148,24 +143,18 @@ def find_matches_lanes(
     y = jnp.pad(y, ((0, 0), (0, W), (0, 0)), constant_values=SENTINEL)
 
     grid = (nbg, G)
-    Lr, Dr = pl.pallas_call(
+    LD = pl.pallas_call(
         functools.partial(_kernel, window=window),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, W, LANES), lambda bg, g: (bg, g, 0)),
             pl.BlockSpec((1, W, LANES), lambda bg, g: (bg, g + 1, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, W, LANES), lambda bg, g: (bg, g, 0)),
-            pl.BlockSpec((1, W, LANES), lambda bg, g: (bg, g, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nbg, Sp, LANES), jnp.int16),
-            jax.ShapeDtypeStruct((nbg, Sp, LANES), jnp.int16),
-        ],
+        out_specs=pl.BlockSpec((1, W, LANES), lambda bg, g: (bg, g, 0)),
+        out_shape=jax.ShapeDtypeStruct((nbg, Sp, LANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2 * W, LANES), jnp.uint8),
-            pltpu.VMEM((W, LANES), jnp.int16),
+            pltpu.VMEM((2 * W, LANES), jnp.int32),
+            pltpu.VMEM((W, LANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -174,8 +163,8 @@ def find_matches_lanes(
     )(y, y)
 
     # back to (B, S) position order, zeroed past each block's length
-    def unpack(a):
-        a = a[:, ::-1, :].transpose(0, 2, 1).reshape(B, Sp)[:, :S].astype(jnp.int32)
-        return jnp.where(pos < lengths[:, None], a, 0)
-
-    return unpack(Lr), unpack(Dr)
+    ld = LD[:, ::-1, :].transpose(0, 2, 1).reshape(B, Sp)[:, :S]
+    valid = pos < lengths[:, None]
+    L = jnp.where(valid, ld >> DBITS, 0)
+    D = jnp.where(valid, ld & ((1 << DBITS) - 1), 0)
+    return L, D

@@ -874,10 +874,27 @@ def compress_container(
             payloads.append(compress_bytes(b, algorithms, window=window))
             _progress(len(payloads), len(blocks))
 
+    return assemble_container(payloads, aux, algorithms, block_size, window, len(data))
+
+
+def assemble_container(
+    payloads: list[bytes],
+    aux: list[list[int]],
+    algorithms: tuple[str, ...],
+    block_size: int,
+    window: int,
+    orig_size: int,
+) -> bytes:
+    """Frame already-encoded per-block payloads as an RSNB container.
+
+    The multi-host path uses this directly: each process encodes its
+    process_block_range locally, segments are gathered in rank order, and
+    this single cheap header pass makes them one container.
+    """
     algo_str = ",".join(algorithms).encode("ascii")
     head = MAGIC + struct.pack(
         "<BB", VERSION, len(algo_str)
-    ) + algo_str + struct.pack("<IIQIB", block_size, window, len(data), len(payloads), len(aux))
+    ) + algo_str + struct.pack("<IIQIB", block_size, window, orig_size, len(payloads), len(aux))
     sizes = struct.pack(f"<{len(payloads)}I", *(len(p) for p in payloads))
     aux_tables = b"".join(struct.pack(f"<{len(t)}I", *t) for t in aux)
     return head + sizes + aux_tables + b"".join(payloads)
