@@ -190,7 +190,7 @@ def device_stage_breakdown(data: bytes, block: int, window: int, encode_s: float
     dl = jax.device_put(lengths)
     tokw, tok_len = timeit(
         "match_commit_s",
-        lambda: pipeline_jax.lzss_tokens_words(dx, dl, window=window, use_pallas_match=False),
+        lambda: pipeline_jax.lzss_tokens_words(dx, dl, window=window),
     )
     tl = np.asarray(tok_len)
     steps = blk._gbucket(int(tl.max()) + 1, base=2048)

@@ -28,11 +28,15 @@ def concat_blocks(packed: jax.Array, lens: jax.Array, cap: int) -> jax.Array:
     return jnp.where(o < ends[-1], flat, 0).astype(jnp.uint8)
 
 
-def _matches(x, lengths, window: int, use_pallas: bool):
-    if use_pallas:
-        from raisin_tpu.ops import lzss_pallas
-
-        return lzss_pallas.find_matches_blocks_pallas(x, lengths)
+def _matches(x, lengths, window: int):
+    # The XLA tiled scan IS the match path. Two Pallas alternatives were
+    # built and measured against it on v5e at the flagship shapes
+    # (B=256, S=65536, window=4096, text corpus):
+    #   XLA tiled scan (lzss_jax): 35.3 MB/s
+    #   Pallas v3 blocks-on-lanes, packed single fold: 34.1 MB/s
+    #   Pallas v2 one-block-per-step circular window: ~3.5 MB/s
+    # Both kernels were deleted (r5): a second, slower "TPU-first" match
+    # path alongside the winner is unresolved design debt (VERDICT r4 #5).
     return lzss_jax.find_matches_blocks(x, lengths, window, x.shape[1] // lzss_jax.TILE)
 
 
@@ -59,7 +63,7 @@ def lzss_encode_packed(
     B, S = x.shape
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]
     xi = jnp.where(pos < lengths[:, None], x.astype(jnp.int32), -1)
-    L, D = _matches(xi, lengths, window, use_pallas)
+    L, D = _matches(xi, lengths, window)
     tok, tok_len = lzss_jax.commit_blocks(xi, L, D, lengths)
     if not with_arith:
         return concat_blocks(tok, tok_len, cap_bytes), tok_len, tok_len
@@ -73,10 +77,8 @@ def lzss_encode_packed(
     return flat, byte_lens, tok_len
 
 
-@functools.partial(jax.jit, static_argnames=("window", "use_pallas_match"))
-def lzss_tokens_words(
-    x: jax.Array, lengths: jax.Array, window: int, use_pallas_match: bool
-):
+@functools.partial(jax.jit, static_argnames=("window",))
+def lzss_tokens_words(x: jax.Array, lengths: jax.Array, window: int):
     """Match + commit only: packed token words out, arith dispatched later.
 
     Splitting the pipeline here lets the caller read max(tok_len) (a tiny
@@ -88,7 +90,7 @@ def lzss_tokens_words(
     B, S = x.shape
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]
     xi = jnp.where(pos < lengths[:, None], x.astype(jnp.int32), -1)
-    L, D = _matches(xi, lengths, window, use_pallas_match)
+    L, D = _matches(xi, lengths, window)
     from raisin_tpu.ops import lzss_commit_pallas
 
     return lzss_commit_pallas.commit_emit_words(xi, L, D, lengths)
@@ -109,13 +111,12 @@ def arith_rows_from_words(tokw: jax.Array, tok_len: jax.Array, steps: int, capw:
     return arithmetic_pallas.encode_rows_from_words(tokwp, tok_len, steps, capw)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "capw", "use_pallas_match"))
+@functools.partial(jax.jit, static_argnames=("window", "capw"))
 def lzss_arith_encode_rows(
     x: jax.Array,
     lengths: jax.Array,
     window: int,
     capw: int,
-    use_pallas_match: bool,
 ):
     """Fully-fused TPU container encode: LZSS match+commit then the Pallas
     arithmetic encoder with in-kernel bit packing; per-block `.rsn` rows out.
@@ -128,7 +129,7 @@ def lzss_arith_encode_rows(
     B, S = x.shape
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]
     xi = jnp.where(pos < lengths[:, None], x.astype(jnp.int32), -1)
-    L, D = _matches(xi, lengths, window, use_pallas_match)
+    L, D = _matches(xi, lengths, window)
     tokw, tok_len = lzss_commit_pallas.commit_emit_words(xi, L, D, lengths)
     steps = (S + 8 + 511) // 512 * 512
     tokwp = jnp.pad(tokw, ((0, 0), (0, steps // 4 - S // 4)))

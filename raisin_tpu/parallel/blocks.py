@@ -58,7 +58,7 @@ _DEVICE_PIPELINES = (
 # their device->host copy as soon as it finishes.
 ENC_MAXB = 2048
 DEC_MAXB = 1024
-ENC_MAX_BYTES = 8 << 20
+ENC_MAX_BYTES = 16 << 20
 DEC_MAX_BYTES = 16 << 20
 # VMEM budget for the decode kernel's resident word stream (capb bytes per
 # block x block count); ~16 MiB VMEM per core minus model/window scratch
@@ -393,9 +393,7 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
             continue
         dx = _device_put_big(x)
         dl = jax.device_put(lengths)
-        tokw, tok_len = pipeline_jax.lzss_tokens_words(
-            dx, dl, window=window, use_pallas_match=False
-        )
+        tokw, tok_len = pipeline_jax.lzss_tokens_words(dx, dl, window=window)
         pend.append((part, S, tokw, tok_len))
 
     # stage 1: per batch, read max(tok_len) (a tiny sync riding under the
@@ -469,11 +467,9 @@ def _encode_lzss_arith_rows_spmd(blocks: list[bytes], mesh, window: int = 4096):
     x, lengths, S = _escaped_blocks(blocks, mesh, align=128)
     steps = (S + 8 + 511) // 512 * 512
     for capw in (_capw_bucket(9 * steps + 64), _capw_bucket(18 * steps)):
-        # XLA tiled-scan match (use_pallas_match=False): ~10x the v2 Pallas
-        # kernel at 4 KiB blocks on v5e (BENCH notes); revisit with v3
         fn = _spmd(
             pipeline_jax.lzss_arith_encode_rows, mesh, 2, 4,
-            window=window, capw=capw, use_pallas_match=False,
+            window=window, capw=capw,
         )
         rows, byte_lens, tok_lens, oflow = fn(
             _shard_blocks(x, mesh), _shard_blocks(lengths, mesh)

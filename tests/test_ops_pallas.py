@@ -95,27 +95,27 @@ def test_pallas_commit_emit_oracle_exact():
 
 
 @pytest.mark.parametrize("window", [4096, 2048, 1000])
-def test_pallas_match_lanes_kernel_equals_scan(window):
-    from raisin_tpu.ops import lzss_match_pallas
-
+def test_match_scan_oracle_exact_windows(window):
+    """The XLA tiled scan (the single match path since r5 — the two Pallas
+    match kernels measured slower on v5e and were deleted) vs the oracle."""
     S = 1024
     payloads = _payload_matrix(S)
     # window-edge content: long runs that match across the whole window
     payloads.append(b"z" * (S - 5))
     payloads.append((b"xy" * S)[: S - 1])
     encs = [lzss_ref.encode_opening_symbols(p) for p in payloads]
-    B = 128  # v3 kernel rides full lane groups
+    B = len(encs)
     x = np.full((B, S), -1, dtype=np.int32)
     lengths = np.zeros(B, dtype=np.int32)
     for i, e in enumerate(encs):
         x[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)[:S]
         lengths[i] = min(len(e), S)
-    Lp, Dp = lzss_match_pallas.find_matches_lanes(
-        jnp.asarray(x), jnp.asarray(lengths), window=window, interpret=True
-    )
     Ls, Ds = lzss_jax.find_matches_blocks(x, lengths, window, S // lzss_jax.TILE)
-    assert np.array_equal(np.asarray(Lp), np.asarray(Ls))
-    assert np.array_equal(np.asarray(Dp), np.asarray(Ds))
+    Ls, Ds = np.asarray(Ls), np.asarray(Ds)
+    for i, e in enumerate(encs):
+        want = lzss_ref.find_matches(e[:S], window)
+        for p, (wd, wl) in enumerate(want):
+            assert (Ls[i, p], Ds[i, p]) == (wl, wd), (i, p)
 
 
 def test_fused_rows_pipeline_oracle_exact():
