@@ -859,6 +859,9 @@ def decode_words(words: jax.Array, out_lens: jax.Array, num_steps: int | None = 
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # 64 KiB-block payload streams overflow the 16M default scoped
+            # cap; v5e VMEM is comfortably larger (verified empirically)
+            vmem_limit_bytes=100 << 20,
         ),
         interpret=interpret,
     )(words, out_lens.astype(jnp.int32))

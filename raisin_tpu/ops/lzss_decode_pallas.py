@@ -80,13 +80,26 @@ def _decode_kernel(n_ref, side_ref, tw_ref, out_ref, olen_ref):
         return (newpos, acc)
 
     def copy_stream(ref, st, src, count):
-        """Append count bytes read from ref starting at byte offset src."""
+        """Append count bytes read from ref starting at byte offset src.
+
+        Two 4-byte appends per loop iteration (see lzss_commit_pallas
+        copy_bytes): loop overhead dominates long literal/reference runs.
+        NB for reference copies this stays correct because D >= 6 for every
+        emitted token, so even an 8-byte trip only reads bytes the eager
+        accumulator store has already published."""
+
+        def bmask(nb):
+            return jnp.where(nb >= 4, -1, (1 << (8 * nb)) - 1)
 
         def step(c):
             st_in, s, rem = c
-            nb = jnp.minimum(rem, 4)
-            w = read_src(ref, s) & jnp.where(nb >= 4, -1, (1 << (8 * nb)) - 1)
-            return (emit_word(st_in, w, nb), s + nb, rem - nb)
+            nb1 = jnp.minimum(rem, 4)
+            w1 = read_src(ref, s) & bmask(nb1)
+            st1 = emit_word(st_in, w1, nb1)
+            rem2 = rem - nb1
+            nb2 = jnp.minimum(rem2, 4)
+            w2 = read_src(ref, s + nb1) & bmask(nb2)
+            return (emit_word(st1, w2, nb2), s + nb1 + nb2, rem2 - nb2)
 
         def cond(c):
             return c[2] > 0

@@ -379,7 +379,11 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
     pend = []
     for i in range(0, len(blocks), maxb):
         part = blocks[i : i + maxb]
-        full = part + [b""] * (maxb - len(part)) if len(blocks) > maxb else part
+        full = (
+            part + [b""] * (maxb - len(part))
+            if len(blocks) > maxb or len(part) >= maxb // 2
+            else part
+        )
         x, lengths, S = _escaped_blocks(full, None, align=128)
         if S > 65536:
             # escape expansion past the commit kernel's SMEM budget
@@ -554,6 +558,42 @@ def _encode_lzss_pipeline(blocks: list[bytes], mesh, with_arith: bool, window: i
 
 
 def _encode_lzss_batch(blocks: list[bytes], mesh, window: int = 4096) -> list[bytes]:
+    if _use_pallas() and mesh is None:
+        # fused Pallas match+commit (the flagship path's first two stages,
+        # sharing its kernel compiles); token words stream back per batch
+        from raisin_tpu.ops import pipeline_jax
+
+        bs0 = max(len(blocks[0]), 1)
+        maxb = max(128, min(ENC_MAXB, ENC_MAX_BYTES // bs0 // 128 * 128))
+        pend = []
+        for i in range(0, len(blocks), maxb):
+            part = blocks[i : i + maxb]
+            full = (
+            part + [b""] * (maxb - len(part))
+            if len(blocks) > maxb or len(part) >= maxb // 2
+            else part
+        )
+            x, lengths, S = _escaped_blocks(full, None, align=128)
+            if S > 65536:
+                from raisin_tpu.engine.registry import get_codec
+
+                lz = get_codec("lzss", backend="native")
+                pend.append((part, [lz.compress(b, window) for b in part], None))
+                continue
+            dx = _device_put_big(x)
+            tokw, tok_len = pipeline_jax.lzss_tokens_words(
+                dx, jax.device_put(lengths), window=window
+            )
+            pend.append((part, tokw, tok_len))
+        out: list[bytes] = []
+        for part, tokw, tok_len in pend:
+            if tok_len is None:
+                out.extend(tokw)
+                continue
+            tl = np.asarray(tok_len)
+            rows_np = _chunks_np(_rows_prefix(tokw, tl))
+            out.extend(rows_np[k].tobytes()[: tl[k]] for k in range(len(part)))
+        return out
     payloads, _ = _encode_lzss_pipeline(blocks, mesh, with_arith=False, window=window)
     return payloads
 
