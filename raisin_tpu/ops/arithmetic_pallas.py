@@ -470,30 +470,35 @@ def encode_chunked_words(symbols: jax.Array, lengths: jax.Array, interpret: bool
     )(symbols, lengths)
 
 
-def _stitch_kernel(cnt_ref, chunks_ref, out_ref):
+def _stitch_kernel(cnt_ref, chunks_ref, out_ref, stc: int):
     """Concatenate per-chunk dense word lists into contiguous block rows.
 
     One block per grid step; the output lives in SMEM so each emitted word
     is ONE scalar store (the VMEM-tile staging of v1 cost ~84 cycles/word).
-    Visits one word per emitted word, two at a time. No bit shifting here —
-    the `.rsn` prepad alignment and byte swap are a fully-vectorized XLA
-    epilogue (see encode_rows). Trailing garbage past the final word is
-    cleared for exactly one slot (the epilogue injects the final partial
-    word there and requires a zero read-back).
+    Visits one word per emitted word, two at a time. The chunk words arrive
+    FLATTENED to (1, 1, C * stc) — an SMEM (1, C, stc) window pads the
+    minor dim to 128 and blew the 1 MiB budget at 64 KiB blocks. No bit
+    shifting here — the `.rsn` prepad alignment and byte swap are a
+    fully-vectorized XLA epilogue (see encode_rows). Trailing garbage past
+    the final word is cleared for exactly one slot (the epilogue injects
+    the final partial word there and requires a zero read-back).
     """
-    C, STCL = chunks_ref.shape[1], chunks_ref.shape[2]
+    C = cnt_ref.shape[2]
     capw = out_ref.shape[2]
 
     def chunk_body(c, widx):
-        m = jnp.minimum(cnt_ref[0, 0, c], STCL)
+        m = jnp.minimum(cnt_ref[0, 0, c], stc)
+        base = c * stc
 
         def pair_body(k, _):
-            out_ref[0, 0, jnp.minimum(widx + 2 * k, capw - 1)] = chunks_ref[0, c, 2 * k]
+            out_ref[0, 0, jnp.minimum(widx + 2 * k, capw - 1)] = chunks_ref[
+                0, 0, base + 2 * k
+            ]
 
             @pl.when(2 * k + 1 < m)
             def _odd():
                 out_ref[0, 0, jnp.minimum(widx + 2 * k + 1, capw - 1)] = chunks_ref[
-                    0, c, 2 * k + 1
+                    0, 0, base + 2 * k + 1
                 ]
 
             return 0
@@ -514,11 +519,11 @@ def stitch_words(
     if capw % 512 != 0:
         raise ValueError("capw must be a multiple of 512")
     out = pl.pallas_call(
-        _stitch_kernel,
+        functools.partial(_stitch_kernel, stc=stc),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C, stc), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, C * stc), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, capw), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, capw), jnp.int32),
@@ -526,7 +531,7 @@ def stitch_words(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(cnts_b.reshape(B, 1, C), chunks_b)
+    )(cnts_b.reshape(B, 1, C), chunks_b.reshape(B, 1, C * stc))
     return out.reshape(B, capw)
 
 

@@ -53,6 +53,7 @@ from raisin_tpu.ops.arithmetic_pallas import (
 KPAD = 132  # 129 symbol ids (ASCII + sentinel 128) padded to the table
 MAX_CODE_BITS = 26  # packed entry = bits | len << 26
 NTAB = 64  # child table: 64 words x two 16-bit (left | right << 8) entries
+DSTC = 40  # decode staging: <= CHUNK bits emit <= 32 words + straddle
 
 
 # ---------------------------------------------------------------------------
@@ -220,10 +221,10 @@ def _hdec_kernel(words_ref, nbits_ref, tab_ref, chunk_ref, ccnt_ref, fin_ref,
         nb[:] = jnp.zeros((rows, LANES), jnp.int32)
         flag[:] = jnp.zeros((rows, LANES), jnp.int32)
 
-    stage[:] = jnp.zeros((STC, rows, LANES), jnp.int32)
+    stage[:] = jnp.zeros((DSTC, rows, LANES), jnp.int32)
     n = nbits_ref[:]
     tiota = jax.lax.broadcasted_iota(jnp.int32, (NTAB, rows, LANES), 0)
-    siota = jax.lax.broadcasted_iota(jnp.int32, (STC, rows, LANES), 0)
+    siota = jax.lax.broadcasted_iota(jnp.int32, (DSTC, rows, LANES), 0)
     tab = tab_ref[:]
 
     def body(s, carry):
@@ -258,7 +259,7 @@ def _hdec_kernel(words_ref, nbits_ref, tab_ref, chunk_ref, ccnt_ref, fin_ref,
     node[:] = nodev
     acc[:] = accv
     nb[:] = nbv
-    flagv = jnp.where(sidx > STC, 1, flagv)
+    flagv = jnp.where(sidx > DSTC, 1, flagv)
     flag[:] = flagv
     chunk_ref[0] = stage[:]
     ccnt_ref[0] = sidx
@@ -324,12 +325,12 @@ def decode_rows_huffman(
             pl.BlockSpec((NTAB, rows, LANES), lambda g: (0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, STC, rows, LANES), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((1, DSTC, rows, LANES), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec((1, rows, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((3, rows, LANES), lambda g: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, STC, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, DSTC, rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((G, rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((3, rows, LANES), jnp.int32),
         ],
@@ -338,15 +339,16 @@ def decode_rows_huffman(
             pltpu.VMEM((rows, LANES), jnp.int32),
             pltpu.VMEM((rows, LANES), jnp.int32),
             pltpu.VMEM((rows, LANES), jnp.int32),
-            pltpu.VMEM((STC, rows, LANES), jnp.int32),
+            pltpu.VMEM((DSTC, rows, LANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 << 20,
         ),
         interpret=interpret,
     )(wt, nbits, tt)
 
-    chunks_b = chunks.reshape(G * STC, B).T.reshape(B, G, STC)
+    chunks_b = chunks.reshape(G * DSTC, B).T.reshape(B, G, DSTC)
     cnts_b = ccnts.reshape(G, B).T.reshape(B, G)
     fin_b = fin.reshape(3, B)
     facc, fnb, bad = fin_b[0], fin_b[1], fin_b[2]

@@ -75,7 +75,14 @@ def _match_scan(xb, n, window: int, wl: int, d0, p0: int = 0, p1: int | None = N
     if p1 is None:
         p1 = S
     num_steps = (p1 - p0) // TILE
-    x16 = xb.astype(jnp.int16)
+    # past-length sentinel: 0x3C ('<') never occurs in ESCAPED bytes (the
+    # escape pre-pass rewrites it to 0xFF, lzss.go:369), so it can never
+    # equal a real window byte — which deletes the per-position validity
+    # mask from the sequential update chain. Runs of sentinel-vs-sentinel
+    # in the invalid tail cannot reach a valid position: that would need
+    # eq at some invalid i+1 against a VALID window byte (i+1-d < n holds
+    # whenever i < n and d >= 1), and real bytes never equal the sentinel.
+    x16 = jnp.where(xb >= 0, xb, 0x3C).astype(jnp.int16)
     static_d0 = isinstance(d0, int) and d0 == 0
     if static_d0:
         # left-pad with sentinel so x[i-d] reads never match; keep only the
@@ -102,22 +109,21 @@ def _match_scan(xb, n, window: int, wl: int, d0, p0: int = 0, p1: int | None = N
             win2 = win
         else:
             win2 = jax.lax.dynamic_slice(win, (span - d0 - wl,), (wl + TILE,))
-        # run-length updates are the only sequential dependency; the per-
-        # position (L, D) reductions are deferred and batched into one
-        # (TILE, wl) pass so the expensive cross-lane reduce runs once per
-        # scan step instead of per position
+        # run updates are the only sequential dependency, so they carry the
+        # CAPPED run c[d] = min(run, d) directly: min(c + 1, d) equals
+        # min(run + 1, d) whether or not the raw run already exceeded d,
+        # which folds the per-position cap into the update (3 ops + the
+        # compare instead of 5) and bounds the state by the window (no
+        # int16-wrap clamp needed). The per-position (L, D) reductions are
+        # deferred and batched into one (TILE, wl) pass per scan step.
         caps = []
         for u in range(TILE - 1, -1, -1):
             cur = win[span + u]
             prev = jax.lax.slice_in_dim(win2, u, u + wl)  # static slice
-            eq = (prev == cur) & (cur >= 0)
-            rl = jnp.where(eq, rl + jnp.int16(1), jnp.int16(0))
-            caps.append(jnp.minimum(rl, dvec))
-        # one clamp per step (not per position) keeps rl well below int16
-        # wrap: rl <= 8192 + TILE and cap = min(rl, dvec <= window <= 8192)
-        # is exact (dvec can reach the full ``window`` via the public
-        # window_size parameter, not just the 4096 default)
-        rl = jnp.minimum(rl, jnp.int16(8192))
+            rl = jnp.where(
+                prev == cur, jnp.minimum(rl + jnp.int16(1), dvec), jnp.int16(0)
+            )
+            caps.append(rl)
         # key packs (cap, d) in 14-bit fields (d <= 8192 needs 14 bits):
         # max gives the longest match, ties broken by the LARGEST distance
         # = leftmost occurrence (bytes.Index semantics). NB a two-pass
