@@ -53,5 +53,5 @@ def global_data_mesh(model_axis: int = 1):
 def process_block_range(num_blocks: int) -> tuple[int, int]:
     """The contiguous block range this process owns under 'data' sharding."""
     per = -(-num_blocks // jax.process_count())
-    lo = jax.process_index() * per
+    lo = min(jax.process_index() * per, num_blocks)
     return lo, min(lo + per, num_blocks)
