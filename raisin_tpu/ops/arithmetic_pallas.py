@@ -470,21 +470,29 @@ def encode_chunked_words(symbols: jax.Array, lengths: jax.Array, interpret: bool
     )(symbols, lengths)
 
 
-def _stitch_kernel(cnt_ref, chunks_ref, out_ref, stc: int):
+def _stitch_kernel(cnt_ref, chunks_ref, out_ref, widx_ref, stc: int):
     """Concatenate per-chunk dense word lists into contiguous block rows.
 
-    One block per grid step; the output lives in SMEM so each emitted word
-    is ONE scalar store (the VMEM-tile staging of v1 cost ~84 cycles/word).
-    Visits one word per emitted word, two at a time. The chunk words arrive
-    FLATTENED to (1, 1, C * stc) — an SMEM (1, C, stc) window pads the
-    minor dim to 128 and blew the 1 MiB budget at 64 KiB blocks. No bit
+    Grid (blocks, chunk segments): the output lives in SMEM so each emitted
+    word is ONE scalar store (the VMEM-tile staging of v1 cost ~84
+    cycles/word), and the chunk words arrive FLATTENED per segment — an
+    SMEM (1, C, stc) window pads the minor dim to 128, and even flattened
+    a whole-block window blows the 1 MiB SMEM budget once C reaches a few
+    thousand chunks (64 KiB Huffman blocks), so segments of SEG chunks
+    stream through while the write cursor carries in SMEM scratch. No bit
     shifting here — the `.rsn` prepad alignment and byte swap are a
     fully-vectorized XLA epilogue (see encode_rows). Trailing garbage past
     the final word is cleared for exactly one slot (the epilogue injects
     the final partial word there and requires a zero read-back).
     """
-    C = cnt_ref.shape[2]
+    cs = pl.program_id(1)
+    ncs = pl.num_programs(1)
+    seg = cnt_ref.shape[2]
     capw = out_ref.shape[2]
+
+    @pl.when(cs == 0)
+    def _reset():
+        widx_ref[0] = 0
 
     def chunk_body(c, widx):
         m = jnp.minimum(cnt_ref[0, 0, c], stc)
@@ -506,8 +514,12 @@ def _stitch_kernel(cnt_ref, chunks_ref, out_ref, stc: int):
         jax.lax.fori_loop(0, (m + 1) // 2, pair_body, 0)
         return widx + m
 
-    widx = jax.lax.fori_loop(0, C, chunk_body, jnp.int32(0))
-    out_ref[0, 0, jnp.minimum(widx, capw - 1)] = 0
+    widx = jax.lax.fori_loop(0, seg, chunk_body, widx_ref[0])
+    widx_ref[0] = widx
+
+    @pl.when(cs == ncs - 1)
+    def _tail():
+        out_ref[0, 0, jnp.minimum(widx, capw - 1)] = 0
 
 
 @functools.partial(jax.jit, static_argnames=("capw", "interpret"))
@@ -518,20 +530,32 @@ def stitch_words(
     B, C, stc = chunks_b.shape
     if capw % 512 != 0:
         raise ValueError("capw must be a multiple of 512")
+    SEG = min(C, 512)
+    ncs = (C + SEG - 1) // SEG
+    if C % SEG:
+        padc = ncs * SEG - C
+        cnts_b = jnp.pad(cnts_b, ((0, 0), (0, padc)))
+        chunks_b = jnp.pad(chunks_b, ((0, 0), (0, padc), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_stitch_kernel, stc=stc),
-        grid=(B,),
+        grid=(B, ncs),
         in_specs=[
-            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, C * stc), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, SEG), lambda b, cs: (b, 0, cs), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, SEG * stc), lambda b, cs: (b, 0, cs), memory_space=pltpu.SMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((1, 1, capw), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((1, 1, capw), lambda b, cs: (b, 0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, capw), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(cnts_b.reshape(B, 1, C), chunks_b.reshape(B, 1, C * stc))
+    )(
+        cnts_b.reshape(B, 1, ncs * SEG),
+        chunks_b.reshape(B, 1, ncs * SEG * stc),
+    )
     return out.reshape(B, capw)
 
 

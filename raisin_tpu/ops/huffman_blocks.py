@@ -242,7 +242,7 @@ def _packed_table(tree):
     return words.view(np.int32)
 
 
-def _decode_pallas(dev, metas, out, interpret=False):
+def _decode_pallas(dev, metas, out, interpret=False, out_bound=None):
     """TPU path: ops/huffman_pallas lockstep 1-bit walk, batched."""
     from raisin_tpu.ops import huffman_pallas as hp
 
@@ -250,7 +250,10 @@ def _decode_pallas(dev, metas, out, interpret=False):
     capb = _gbucket(max(len(metas[i][2]) for i in dev), base=512)
     maxbits = max(metas[i][3] for i in dev)
     steps = _gbucket(maxbits, base=2048)
-    cap_out = _gbucket(maxbits + 4, base=4096)
+    # output capacity: decoded bytes <= payload bits, but the container
+    # knows the real bound (block size / token length), which keeps the
+    # stitch's SMEM-resident output window ~4x smaller
+    cap_out = _gbucket(min(maxbits, out_bound or maxbits) + 4, base=4096)
     # resident payload words: keep one batch's (capb x B) under ~10 MiB
     maxb = max(128, min(maxb, (10 << 20) // (capb * 128) * 128))
     for lo in range(0, len(dev), maxb):
@@ -365,8 +368,14 @@ class _NonAscii(Exception):
     pass
 
 
-def decode_blocks(payloads: list[bytes], interpret: bool = False) -> list[bytes]:
-    """Exact per-block Huffman decode, device-batched (ASCII trees)."""
+def decode_blocks(
+    payloads: list[bytes], interpret: bool = False, out_bound: int | None = None
+) -> list[bytes]:
+    """Exact per-block Huffman decode, device-batched (ASCII trees).
+
+    ``out_bound``: optional known upper bound on any block's decoded size
+    (the container's block size or recorded token length) — tightens the
+    device decoder's output capacity."""
     use_p = _use_pallas() or interpret
     out: list[bytes | None] = [None] * len(payloads)
     dev: list[int] = []
@@ -397,7 +406,7 @@ def decode_blocks(payloads: list[bytes], interpret: bool = False) -> list[bytes]
         dev.append(i)
 
     if dev and use_p:
-        _decode_pallas(dev, metas, out, interpret)
+        _decode_pallas(dev, metas, out, interpret, out_bound=out_bound)
         return out  # type: ignore[return-value]
 
     if dev:

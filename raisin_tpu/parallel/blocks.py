@@ -1000,13 +1000,14 @@ def decompress_container(data: bytes, mesh=None) -> bytes:
     elif algorithms == ("huffman",):
         from raisin_tpu.ops import huffman_blocks
 
-        blocks = huffman_blocks.decode_blocks(payloads)
+        blocks = huffman_blocks.decode_blocks(payloads, out_bound=block_size)
     elif algorithms == ("lzss", "huffman"):
         from raisin_tpu.engine.registry import get_codec
         from raisin_tpu.ops import huffman_blocks
 
         lz = get_codec("lzss", backend="native")  # falls back to host oracle
-        tokens = huffman_blocks.decode_blocks(payloads)
+        bound = max(aux[0]) if aux and aux[0] else None
+        tokens = huffman_blocks.decode_blocks(payloads, out_bound=bound)
         blocks = [lz.decompress(t) for t in tokens]
     else:
         from raisin_tpu.engine.core import decompress_bytes
