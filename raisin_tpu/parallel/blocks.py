@@ -818,6 +818,15 @@ def _decode_arithmetic_batch(payloads: list[bytes], out_lens: list[int], mesh) -
     # least one full 128-block lane group (DEC_WORDS_VMEM / 128)
     if _use_pallas() and max(len(p) for p in payloads) <= 65536:
         return _decode_arithmetic_rows(payloads, out_lens, mesh)
+    if _use_pallas():
+        # oversized payloads (past the VMEM gate): the native C host
+        # decoder, pool-threaded — faster than shipping a giant scan to
+        # the device, and the XLA fallback scan at these shapes has
+        # crashed the tunneled TPU worker
+        from raisin_tpu.engine.registry import get_codec
+
+        a = get_codec("arithmetic", backend="native")
+        return list(_pool().map(a.decompress, payloads))
     B = _pad_block_count(len(payloads), mesh)
     n = _mesh_size(mesh)
     per_seg = B // n

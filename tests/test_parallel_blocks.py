@@ -117,3 +117,20 @@ def test_container_window_parameter():
         block = data[i * block_size : (i + 1) * block_size]
         assert p == arithmetic_ref.compress(lzss_ref.compress(block, 1024))
     assert decompress_container(c) == data
+
+
+def test_container_binary_data_paths():
+    """Escape-heavy binary data rides the fallback paths losslessly; huffman
+    on binary is reference-parity lossy (rune mangling, huffman.go:306-310)
+    so the container refuses it rather than returning mangled bytes."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(1)
+    data = bytes(rng.integers(0, 256, size=1 << 17, dtype=np.uint8)) + b"\x5c\xff<>" * 700
+    for algos in (("lzss", "arithmetic"), ("arithmetic",), ("lzss",)):
+        c = compress_container(data, algos, block_size=16384, window=4096)
+        assert decompress_container(c) == data, algos
+    c = compress_container(data, ("huffman",), block_size=16384)
+    with pytest.raises(ValueError):
+        decompress_container(c)
