@@ -181,19 +181,19 @@ def _encode_pallas(dev, blocks, tabs, exact_bits, heads, out, interpret=False):
     for lo in range(0, len(dev2), maxb):
         part = dev2[lo : lo + maxb]
         B = max(128, (len(part) + 127) // 128 * 128)
-        idw = np.full((B, steps // 4), 0x80808080, dtype=np.uint32)
+        # one vectorized pack for the whole batch: per-block python packing
+        # cost ~0.5 ms x hundreds of blocks and showed in the stack bench
+        ids = np.full((B, steps), 128, dtype=np.uint8)
         codes = np.zeros((B, hp.KPAD), dtype=np.int32)
         lengths = np.zeros(B, dtype=np.int32)
         for row, i in enumerate(part):
             arr = np.frombuffer(blocks[i], dtype=np.uint8)
-            padded = np.full(steps, 128, dtype=np.uint32)
-            padded[: arr.size] = arr
-            p4 = padded.reshape(steps // 4, 4)
-            idw[row] = p4[:, 0] | (p4[:, 1] << 8) | (p4[:, 2] << 16) | (p4[:, 3] << 24)
+            ids[row, : arr.size] = arr
             lengths[row] = arr.size
             vals, bins = tabs[i]
             for v, c in zip(vals, bins):
                 codes[row, v] = int(c, 2) | (len(c) << hp.MAX_CODE_BITS)
+        idw = np.ascontiguousarray(ids).view(np.uint32)
         rows, byte_lens, pads, oflow = hp.encode_rows_huffman(
             jnp.asarray(idw.view(np.int32)), jnp.asarray(lengths),
             jnp.asarray(codes), steps=steps, capw=capw, interpret=interpret,
