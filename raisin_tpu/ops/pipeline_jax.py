@@ -77,8 +77,10 @@ def lzss_encode_packed(
     return flat, byte_lens, tok_len
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
-def lzss_tokens_words(x: jax.Array, lengths: jax.Array, window: int):
+@functools.partial(jax.jit, static_argnames=("window", "map_escape"))
+def lzss_tokens_words(
+    x: jax.Array, lengths: jax.Array, window: int, map_escape: bool = False
+):
     """Match + commit only: packed token words out, arith dispatched later.
 
     Splitting the pipeline here lets the caller read max(tok_len) (a tiny
@@ -86,10 +88,18 @@ def lzss_tokens_words(x: jax.Array, lengths: jax.Array, window: int):
     scan at a TIGHT steps bucket — the token stream is typically ~40-60% of
     S, so a fused S-sized scan wastes about half the arithmetic stage on
     EOF padding.
+
+    ``map_escape``: apply the 0x3C -> 0xFF escape byte map ON DEVICE.
+    Valid only when the caller has verified the input holds no 0x5C/0xFF
+    (then the escape pre-pass, lzss.go:369, is a pure byte map with
+    unchanged lengths); it moves ~3 host passes over the batch into the
+    fused kernel, where the tunneled host's variable memory bandwidth
+    can't touch them.
     """
     B, S = x.shape
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]
-    xi = jnp.where(pos < lengths[:, None], x.astype(jnp.int32), -1)
+    xe = jnp.where(x == 0x3C, jnp.uint8(0xFF), x) if map_escape else x
+    xi = jnp.where(pos < lengths[:, None], xe.astype(jnp.int32), -1)
     L, D = _matches(xi, lengths, window)
     from raisin_tpu.ops import lzss_commit_pallas
 

@@ -266,6 +266,33 @@ def _cap_bytes(total_in: int, nblocks: int) -> int:
     return ((int(total_in * 1.3) + 8 * nblocks + 4096) + 127) // 128 * 128
 
 
+def _escape_clean(blocks: list[bytes]) -> bool:
+    """True when no block holds a 0x5C or 0xFF byte (the two values the
+    escape pre-pass EXPANDS, lzss.go:369). Then escaping is a pure
+    0x3C -> 0xFF map with unchanged lengths and can run on device.
+    Per-block numpy scans with early exit keep this one bounded pass."""
+    for b in blocks:
+        a = np.frombuffer(b, dtype=np.uint8)
+        if (a == 0x5C).any() or (a == 0xFF).any():
+            return False
+    return True
+
+
+def _raw_blocks(blocks: list[bytes]):
+    """(B, S) matrix of RAW block bytes + lengths (escape-clean fast path:
+    the 0x3C map is applied on device by lzss_tokens_words)."""
+    nb = len(blocks)
+    B = _pad_block_count(nb, None, align=128)
+    bs = max(len(b) for b in blocks)
+    S = _bucket(bs, base=1024)
+    x = np.zeros((B, S), dtype=np.uint8)
+    lengths = np.zeros(B, dtype=np.int32)
+    for i, b in enumerate(blocks):
+        x[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lengths[i] = len(b)
+    return x, lengths, S
+
+
 def _escaped_blocks(blocks: list[bytes], mesh, align: int = 1):
     nb = len(blocks)
     B = _pad_block_count(nb, mesh, align=align)
@@ -377,6 +404,11 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
     # partial batch is padded with empty blocks to the common batch shape
     # so the whole run shares ONE kernel specialization per stage.
     pend = []
+    # escape-clean whole input (no 0x5C/0xFF anywhere): the escape layer is
+    # a pure 0x3C -> 0xFF byte map with unchanged lengths, applied ON
+    # DEVICE — host prep per batch collapses to one memcpy into the padded
+    # matrix. Checked once in bounded chunks (early exit).
+    clean = bool(blocks) and len(blocks[0]) > 0 and _escape_clean(blocks)
     for i in range(0, len(blocks), maxb):
         part = blocks[i : i + maxb]
         full = (
@@ -384,7 +416,10 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
             if len(blocks) > maxb or len(part) >= maxb // 2
             else part
         )
-        x, lengths, S = _escaped_blocks(full, None, align=128)
+        if clean:
+            x, lengths, S = _raw_blocks(full)
+        else:
+            x, lengths, S = _escaped_blocks(full, None, align=128)
         if S > 65536:
             # escape expansion past the commit kernel's SMEM budget
             # (possible only on 0x5C/0xFF-heavy blocks): host oracle
@@ -397,7 +432,9 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
             continue
         dx = _device_put_big(x)
         dl = jax.device_put(lengths)
-        tokw, tok_len = pipeline_jax.lzss_tokens_words(dx, dl, window=window)
+        tokw, tok_len = pipeline_jax.lzss_tokens_words(
+            dx, dl, window=window, map_escape=clean
+        )
         pend.append((part, S, tokw, tok_len))
 
     # stage 1: per batch, read max(tok_len) (a tiny sync riding under the
@@ -565,15 +602,19 @@ def _encode_lzss_batch(blocks: list[bytes], mesh, window: int = 4096) -> list[by
 
         bs0 = max(len(blocks[0]), 1)
         maxb = max(128, min(ENC_MAXB, ENC_MAX_BYTES // bs0 // 128 * 128))
+        clean = bool(blocks) and len(blocks[0]) > 0 and _escape_clean(blocks)
         pend = []
         for i in range(0, len(blocks), maxb):
             part = blocks[i : i + maxb]
             full = (
-            part + [b""] * (maxb - len(part))
-            if len(blocks) > maxb or len(part) >= maxb // 2
-            else part
-        )
-            x, lengths, S = _escaped_blocks(full, None, align=128)
+                part + [b""] * (maxb - len(part))
+                if len(blocks) > maxb or len(part) >= maxb // 2
+                else part
+            )
+            if clean:
+                x, lengths, S = _raw_blocks(full)
+            else:
+                x, lengths, S = _escaped_blocks(full, None, align=128)
             if S > 65536:
                 from raisin_tpu.engine.registry import get_codec
 
@@ -582,7 +623,7 @@ def _encode_lzss_batch(blocks: list[bytes], mesh, window: int = 4096) -> list[by
                 continue
             dx = _device_put_big(x)
             tokw, tok_len = pipeline_jax.lzss_tokens_words(
-                dx, jax.device_put(lengths), window=window
+                dx, jax.device_put(lengths), window=window, map_escape=clean
             )
             pend.append((part, tokw, tok_len))
         out: list[bytes] = []
