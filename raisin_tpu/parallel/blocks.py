@@ -278,6 +278,16 @@ def _escape_clean(blocks: list[bytes]) -> bool:
     return True
 
 
+def _raw_batch_view(whole, lo_block: int, nb: int, bs: int):
+    """Zero-copy (nb, bs) view of blocks [lo_block, lo_block + nb) of the
+    original input buffer — the escape-clean fast path's host prep is then
+    literally nothing (device_put reads the view directly)."""
+    x = np.frombuffer(
+        whole, dtype=np.uint8, count=nb * bs, offset=lo_block * bs
+    ).reshape(nb, bs)
+    return x, np.full(nb, bs, dtype=np.int32)
+
+
 def _raw_blocks(blocks: list[bytes]):
     """(B, S) matrix of RAW block bytes + lengths (escape-clean fast path:
     the 0x3C map is applied on device by lzss_tokens_words)."""
@@ -379,7 +389,7 @@ def _enc_batch_assemble(blocks, rows_np, byte_lens, tok_lens, oflow, window):
     return payloads, [int(t) for t in tok_lens[: len(blocks)]]
 
 
-def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
+def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096, whole: bytes | None = None):
     """TPU fast path: fused match+commit+arithmetic with in-kernel packing.
 
     Single-chip, batches of ~ENC_MAX_BYTES input bytes per kernel call
@@ -406,9 +416,11 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
     pend = []
     # escape-clean whole input (no 0x5C/0xFF anywhere): the escape layer is
     # a pure 0x3C -> 0xFF byte map with unchanged lengths, applied ON
-    # DEVICE — host prep per batch collapses to one memcpy into the padded
-    # matrix. Checked once in bounded chunks (early exit).
+    # DEVICE — host prep per batch collapses to a zero-copy view (full
+    # batches) or one memcpy (the ragged tail). Checked once with bounded
+    # per-block scans (early exit).
     clean = bool(blocks) and len(blocks[0]) > 0 and _escape_clean(blocks)
+    bs0v = len(blocks[0]) if blocks else 0
     for i in range(0, len(blocks), maxb):
         part = blocks[i : i + maxb]
         full = (
@@ -416,7 +428,16 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096):
             if len(blocks) > maxb or len(part) >= maxb // 2
             else part
         )
-        if clean:
+        if (
+            clean
+            and whole is not None
+            and len(part) == len(full)
+            and _bucket(bs0v, base=1024) == bs0v
+            and (i + len(part)) * bs0v <= len(whole)
+        ):
+            x, lengths = _raw_batch_view(whole, i, len(part), bs0v)
+            S = bs0v
+        elif clean:
             x, lengths, S = _raw_blocks(full)
         else:
             x, lengths, S = _escaped_blocks(full, None, align=128)
@@ -565,11 +586,11 @@ def _encode_arithmetic_rows(blocks: list[bytes], mesh) -> list[bytes]:
     return payloads
 
 
-def _encode_lzss_pipeline(blocks: list[bytes], mesh, with_arith: bool, window: int = 4096):
+def _encode_lzss_pipeline(blocks: list[bytes], mesh, with_arith: bool, window: int = 4096, whole: bytes | None = None):
     from raisin_tpu.ops import pipeline_jax
 
     if with_arith and _use_pallas():
-        return _encode_lzss_arith_rows(blocks, mesh, window)
+        return _encode_lzss_arith_rows(blocks, mesh, window, whole)
 
     x, lengths, S = _escaped_blocks(blocks, mesh)
     B = x.shape[0]
@@ -639,8 +660,8 @@ def _encode_lzss_batch(blocks: list[bytes], mesh, window: int = 4096) -> list[by
     return payloads
 
 
-def _encode_lzss_arithmetic_batch(blocks: list[bytes], mesh, window: int = 4096):
-    return _encode_lzss_pipeline(blocks, mesh, with_arith=True, window=window)
+def _encode_lzss_arithmetic_batch(blocks: list[bytes], mesh, window: int = 4096, whole: bytes | None = None):
+    return _encode_lzss_pipeline(blocks, mesh, with_arith=True, window=window, whole=whole)
 
 
 def _decode_arithmetic_rows(payloads: list[bytes], out_lens: list[int], mesh) -> list[bytes]:
@@ -938,7 +959,7 @@ def compress_container(
     elif algorithms == ("lzss",) and lz_device:
         payloads = _encode_lzss_batch(blocks, mesh, window)
     elif algorithms == ("lzss", "arithmetic") and lz_device:
-        payloads, inter_lens = _encode_lzss_arithmetic_batch(blocks, mesh, window)
+        payloads, inter_lens = _encode_lzss_arithmetic_batch(blocks, mesh, window, whole=data)
         aux.append(inter_lens)
     elif algorithms == ("huffman",):
         from raisin_tpu.ops import huffman_blocks
