@@ -42,14 +42,6 @@ MAGIC = b"RSNB"
 VERSION = 2  # v2 adds the LZSS window u32 (v1 files parse as window=4096)
 DEFAULT_BLOCK_SIZE = 1 << 16
 
-_DEVICE_PIPELINES = (
-    ("arithmetic",),
-    ("lzss",),
-    ("lzss", "arithmetic"),
-    ("huffman",),
-    ("lzss", "huffman"),
-)
-
 # Single-chip batch sizes: the Pallas coder state scales with rows = B/128
 # (VMEM-bound; encode fits 32 rows, decode 16). Batches are sized in BYTES
 # (~8 MiB of input each, block-count capped) so several are in flight at

@@ -134,3 +134,28 @@ def test_container_binary_data_paths():
     c = compress_container(data, ("huffman",), block_size=16384)
     with pytest.raises(ValueError):
         decompress_container(c)
+
+
+def test_escape_clean_and_raw_batch_view():
+    """Helpers behind the device-side escape map (escape-clean fast path)."""
+    import numpy as np
+
+    from raisin_tpu.formats.lzss_ref import encode_opening_symbols
+    from raisin_tpu.parallel import blocks as blk
+
+    assert blk._escape_clean([b"hello < world", b"abc"])
+    assert not blk._escape_clean([b"he\xffllo"])
+    assert not blk._escape_clean([b"ok", b"nope\x5c"])
+
+    # for clean data the escape pre-pass IS the pure byte map the device
+    # applies (0x3C -> 0xFF, unchanged length)
+    b = b"a<b<c plain text, no escapes"
+    mapped = bytes(0xFF if x == 0x3C else x for x in b)
+    assert encode_opening_symbols(b) == mapped
+
+    whole = bytes(range(48, 58)) * 1024  # 10240 bytes
+    x, lengths = blk._raw_batch_view(whole, lo_block=2, nb=3, bs=1024)
+    assert x.shape == (3, 1024) and (lengths == 1024).all()
+    assert x.tobytes() == whole[2048 : 2048 + 3 * 1024]
+    # zero-copy: the view shares the buffer
+    assert x.base is not None
