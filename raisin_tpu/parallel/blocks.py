@@ -424,6 +424,7 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096, whole
             clean
             and whole is not None
             and len(part) == len(full)
+            and len(part) % 128 == 0  # kernels ride full 128-lane groups
             and _bucket(bs0v, base=1024) == bs0v
             and (i + len(part)) * bs0v <= len(whole)
         ):
