@@ -417,7 +417,7 @@ def _encode_lzss_arith_rows(blocks: list[bytes], mesh, window: int = 4096, whole
         part = blocks[i : i + maxb]
         full = (
             part + [b""] * (maxb - len(part))
-            if len(blocks) > maxb or len(part) >= maxb // 2
+            if len(blocks) > maxb or len(part) > maxb * 3 // 4
             else part
         )
         if (
@@ -555,7 +555,10 @@ def _encode_arithmetic_rows(blocks: list[bytes], mesh) -> list[bytes]:
         return out
 
     B = _pad_block_count(len(blocks), mesh, align=128)
-    steps = max(512, ( _bucket(max(len(b) for b in blocks) + 1) + 511) // 512 * 512)
+    # block lengths are the container's block_size (constant per run), so an
+    # exact 512-ceil is shape-stable AND avoids the pow2 bucket's up-to-2x
+    # scan-length waste at power-of-two block sizes
+    steps = max(512, (max(len(b) for b in blocks) + 1 + 511) // 512 * 512)
     payload = np.zeros((B, steps), dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
     for i, b in enumerate(blocks):
@@ -622,7 +625,7 @@ def _encode_lzss_batch(blocks: list[bytes], mesh, window: int = 4096) -> list[by
             part = blocks[i : i + maxb]
             full = (
                 part + [b""] * (maxb - len(part))
-                if len(blocks) > maxb or len(part) >= maxb // 2
+                if len(blocks) > maxb or len(part) > maxb * 3 // 4
                 else part
             )
             if clean:
@@ -677,7 +680,9 @@ def _decode_arithmetic_rows(payloads: list[bytes], out_lens: list[int], mesh) ->
 
     B = _pad_block_count(len(payloads), mesh, align=128)
     capb = _gbucket(max(len(p) for p in payloads), base=512)
-    steps = _gbucket(max(out_lens) + 1, base=2048)
+    # out_lens are block_size except the tail: exact 512-ceil (see the
+    # encoder note; %CHUNK == 0 holds for 512 multiples)
+    steps = max(512, (max(out_lens) + 1 + 511) // 512 * 512)
     prows = np.zeros((B, capb), dtype=np.uint8)
     blens = np.zeros(B, dtype=np.int32)
     olens = np.zeros(B, dtype=np.int32)
