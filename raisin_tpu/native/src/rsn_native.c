@@ -124,7 +124,14 @@ static int lz_token(uint8_t *tmp, long d, long l) {
  * longest string shares the 3-byte prefix, so the walk is complete); 1- and
  * 2-byte existence comes from small recency tables. Tokens shorter than 6
  * bytes are never emitted (min token length 5), so D only matters when the
- * chain produced it. */
+ * chain produced it.
+ *
+ * Search and commit run FUSED in one pass: the greedy commit consumes L
+ * positions per match (lzss.go:136-151), and the L/D values of consumed
+ * positions are never read, so the chain walk is skipped there (only the
+ * O(1) table advances run). On long uniform runs — where every position
+ * shares one hash bucket and every candidate extends to the window — this
+ * is the difference between O(n * window^2) and O(commits * window). */
 #define HASH_BITS 16
 #define HASH_SIZE (1 << HASH_BITS)
 
@@ -143,54 +150,71 @@ long rsn_lzss_compress(const uint8_t *in, long n_in, int window,
 
     int32_t *head = (int32_t *)malloc(sizeof(int32_t) * HASH_SIZE);
     int32_t *next = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n > 0 ? n : 1));
-    int32_t *L = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n > 0 ? n : 1));
-    int32_t *D = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n > 0 ? n : 1));
     int32_t last1[256];
     int32_t last2[65536][2]; /* two most recent starts per pair */
     buf_t out;
-    if (!head || !next || !L || !D || buf_init(&out, (size_t)n + 16)) {
-        free(enc.p); free(head); free(next); free(L); free(D);
+    if (!head || !next || buf_init(&out, (size_t)n + 16)) {
+        free(enc.p); free(head); free(next);
         return RSN_ERR_ALLOC;
     }
     memset(head, -1, sizeof(int32_t) * HASH_SIZE);
     for (int i = 0; i < 256; i++) last1[i] = -1;
     memset(last2, -1, sizeof(last2));
 
-    for (long i = 0; i < n; i++) {
-        long lo = i - window;
-        if (window <= 0) lo = 0;
-        if (lo < 0) lo = 0;
+    uint8_t tok[16];
+    long ignore = 0; /* positions consumed by the last commit */
+    int oom = 0;
+    for (long i = 0; i < n && !oom; i++) {
+        if (ignore == 0) {
+            long lo = i - window;
+            if (window <= 0) lo = 0;
+            if (lo < 0) lo = 0;
 
-        long bestl = 0, bests = -1;
-        /* 1-byte existence: any s in [lo, i-1] with x[s] == x[i] */
-        if (last1[x[i]] >= lo) bestl = 1;
-        /* 2-byte existence: any s in [lo, i-2] */
-        if (i + 1 < n) {
-            uint32_t pair = ((uint32_t)x[i] << 8) | x[i + 1];
-            int32_t s0 = last2[pair][0], s1 = last2[pair][1];
-            if ((s0 >= lo && s0 <= i - 2) || (s1 >= lo && s1 <= i - 2)) bestl = 2;
-        }
-        /* >=3: walk the chain (most-recent first), track longest + leftmost.
-         * A candidate's usable length is capped by i-s (match fully in the
-         * prefix) and n-i; the D candidate set is exactly the occurrences
-         * whose capped length equals the final best length. */
-        if (i + 2 < n) {
-            for (int32_t s = head[hash3(x + i)]; s >= 0 && s >= lo; s = next[s]) {
-                long cap = i - s;
-                long maxl = n - i < cap ? n - i : cap;
-                if (maxl < bestl) continue; /* can't match or tie */
-                long l = 0;
-                while (l < maxl && x[s + l] == x[i + l]) l++;
-                if (l > bestl) {
-                    bestl = l;
-                    bests = s;
-                } else if (l == bestl && l > 0 && (bests < 0 || s < bests)) {
-                    bests = s; /* leftmost occurrence at the best length */
+            long bestl = 0, bests = -1;
+            /* 1-byte existence: any s in [lo, i-1] with x[s] == x[i] */
+            if (last1[x[i]] >= lo) bestl = 1;
+            /* 2-byte existence: any s in [lo, i-2] */
+            if (i + 1 < n) {
+                uint32_t pair = ((uint32_t)x[i] << 8) | x[i + 1];
+                int32_t s0 = last2[pair][0], s1 = last2[pair][1];
+                if ((s0 >= lo && s0 <= i - 2) || (s1 >= lo && s1 <= i - 2)) bestl = 2;
+            }
+            /* >=3: walk the chain (most-recent first), track longest +
+             * leftmost. A candidate's usable length is capped by i-s (match
+             * fully in the prefix) and n-i; the D candidate set is exactly
+             * the occurrences whose capped length equals the best length. */
+            if (i + 2 < n) {
+                for (int32_t s = head[hash3(x + i)]; s >= 0 && s >= lo; s = next[s]) {
+                    long cap = i - s;
+                    long maxl = n - i < cap ? n - i : cap;
+                    if (maxl < bestl) continue; /* can't match or tie */
+                    long l = 0;
+                    while (l < maxl && x[s + l] == x[i + l]) l++;
+                    if (l > bestl) {
+                        bestl = l;
+                        bests = s;
+                    } else if (l == bestl && l > 0 && (bests < 0 || s < bests)) {
+                        bests = s; /* leftmost occurrence at the best length */
+                    }
                 }
             }
+
+            /* commit (lzss.go:134-151) */
+            if (bestl > 0) {
+                ignore = bestl - 1;
+                int tl = lz_token(tok, bests >= 0 ? (int32_t)(i - bests) : 0,
+                                  bestl);
+                if (tl < bestl) {
+                    oom = buf_append(&out, tok, (size_t)tl);
+                } else {
+                    oom = buf_append(&out, x + i, (size_t)bestl);
+                }
+            } else {
+                oom = buf_push(&out, x[i]);
+            }
+        } else {
+            ignore--;
         }
-        L[i] = (int32_t)bestl;
-        D[i] = bests >= 0 ? (int32_t)(i - bests) : 0;
 
         /* advance tables with position i */
         last1[x[i]] = (int32_t)i;
@@ -206,27 +230,7 @@ long rsn_lzss_compress(const uint8_t *in, long n_in, int window,
         }
     }
 
-    /* commit pass (lzss.go:134-151) */
-    uint8_t tok[16];
-    long ignore = 0;
-    int oom = 0;
-    for (long i = 0; i < n && !oom; i++) {
-        if (ignore > 0) { ignore--; continue; }
-        long l = L[i];
-        if (l > 0) {
-            ignore = l - 1;
-            int tl = lz_token(tok, D[i], l);
-            if (tl < l) {
-                oom = buf_append(&out, tok, (size_t)tl);
-            } else {
-                oom = buf_append(&out, x + i, (size_t)l);
-            }
-        } else {
-            oom = buf_push(&out, x[i]);
-        }
-    }
-
-    free(enc.p); free(head); free(next); free(L); free(D);
+    free(enc.p); free(head); free(next);
     if (oom) { free(out.p); return RSN_ERR_ALLOC; }
     *out_p = out.p;
     *out_len = (long)out.len;

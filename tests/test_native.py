@@ -122,3 +122,23 @@ def test_native_dmc_registered():
     from raisin_tpu.formats import dmc_ref
 
     assert codec.compress(VERSE) == dmc_ref.compress(VERSE)
+
+
+def test_native_lzss_long_runs_fast_and_exact():
+    """Uniform runs used to be O(n * window^2) in the C search (every
+    position walked a full same-hash chain); the fused search+commit skips
+    consumed positions. Exactness vs the oracle must hold either way."""
+    from raisin_tpu.formats import lzss_ref
+    from raisin_tpu.native import lzss_compress, lzss_decompress
+
+    # oracle comparison at a size the (quadratic-on-runs) python oracle
+    # can handle; the big case asserts round-trip + that C finishes at all
+    zs = b"\x00" * 3000
+    assert lzss_compress(zs, 4096) == lzss_ref.compress(zs, 4096)
+    z = b"\x00" * 200000
+    c = lzss_compress(z, 4096)
+    assert lzss_decompress(c) == z
+    rs = (b"ab" * 2000)[:3001]
+    assert lzss_compress(rs, 4096) == lzss_ref.compress(rs, 4096)
+    r = (b"ab" * 100000)[:200001]
+    assert lzss_decompress(lzss_compress(r, 4096)) == r
