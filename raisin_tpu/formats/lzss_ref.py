@@ -154,11 +154,54 @@ def commit_tokens(enc: bytes, refs: list[tuple[int, int]]) -> bytes:
     return bytes(out)
 
 
+def _match_at(enc: bytes, i: int, window_size: int) -> tuple[int, int]:
+    """(distance, length) of the greedy match at one position (the body of
+    find_matches, reused by the fused compress loop)."""
+    n = len(enc)
+    start = max(0, i - window_size) if window_size > 0 else 0
+    window = enc[start:i]
+    if not window:
+        return (0, 0)
+    k = 1
+    idx = window.find(enc[i : i + 1])
+    if idx < 0:
+        return (0, 0)
+    best_idx = idx
+    while i + k < n:
+        nxt = window.find(enc[i : i + k + 1])
+        if nxt < 0:
+            break
+        k += 1
+        best_idx = nxt
+    return (len(window) - best_idx, k)
+
+
 def compress(data: bytes, window_size: int = DEFAULT_WINDOW_SIZE) -> bytes:
-    """Parity with reference lz.CompressAsync (lzss.go:109)."""
+    """Parity with reference lz.CompressAsync (lzss.go:109).
+
+    Search and commit run fused: the greedy commit consumes ``length``
+    positions per match and never reads their (D, L), so the oracle skips
+    the window search there — on long uniform runs (where every position's
+    search extends across the whole window) this drops the worst case from
+    O(n * window * len) to O(commits * window * len), same bytes out.
+    """
     enc = encode_opening_symbols(data)
-    refs = find_matches(enc, window_size)
-    return commit_tokens(enc, refs)
+    out = bytearray()
+    i = 0
+    n = len(enc)
+    while i < n:
+        dist, length = _match_at(enc, i, window_size)
+        if length > 0:
+            tok = token_bytes(dist, length)
+            if len(tok) < length:
+                out += tok
+            else:
+                out += enc[i : i + length]
+            i += length
+        else:
+            out.append(enc[i])
+            i += 1
+    return bytes(out)
 
 
 def decompress(data: bytes) -> bytes:
